@@ -1,0 +1,105 @@
+"""Executor: owns SimState and the jitted step functions.
+
+TPU-native equivalent of both reference entry points —
+``TaskGraphExecutor`` (CPU, ``include/madrona/mw_cpu.hpp:57-110``) and
+``MWCudaExecutor`` (GPU, ``include/madrona/mw_gpu.hpp:118-164``). The
+reference needs two backends because device code must be NVRTC-compiled;
+here one implementation runs on TPU and CPU alike because the "device
+code" is the jitted step function itself, and the NVRTC pipeline + kernel
+cache (``src/mw/cuda_exec.cpp:554-1013``) collapse into ``jax.jit`` + the
+persistent XLA compilation cache.
+
+``buildLaunchGraph([ids])`` (CUDA-graph composition of taskgraphs,
+``src/mw/cuda_exec.cpp:2174-2313``) maps to :meth:`build_launch_graph`,
+which composes several taskgraphs into one jitted function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+
+from ..core.state import SimState, StateManager
+from .builder import TaskGraph
+
+
+class Executor:
+    def __init__(
+        self,
+        sm: StateManager,
+        graphs: Dict[str, TaskGraph],
+        num_worlds: int,
+        seed: int = 0,
+        init_fn: Optional[Callable[[StateManager, SimState], SimState]] = None,
+        max_entities: Optional[int] = None,
+        donate: bool = True,
+        jit: bool = True,
+    ):
+        self.sm = sm
+        self.num_worlds = num_worlds
+        self.graphs = dict(graphs)
+        self._donate = donate
+        self._jit = jit
+
+        state = sm.init_state(num_worlds, seed=seed, max_entities=max_entities)
+        if init_fn is not None:
+            init = lambda s: init_fn(sm, s)
+            state = (jax.jit(init) if jit else init)(state)
+        self.state = state
+
+        self._step_fns: Dict[Any, Callable] = {}
+        for name in self.graphs:
+            self._step_fns[(name,)] = self._compile((name,))
+
+    def _compile(self, graph_names: Sequence[str]) -> Callable:
+        sm = self.sm
+        graphs = [self.graphs[n] for n in graph_names]
+
+        def step_fn(state: SimState, inputs: Dict[str, Any]):
+            state = sm.apply_imports(state, inputs)
+            for g in graphs:
+                state = g.step(state)
+            return state, sm.collect_exports(state)
+
+        if not self._jit:
+            return step_fn
+        return jax.jit(step_fn, donate_argnums=(0,) if self._donate else ())
+
+    # ------------------------------------------------------------------ api
+
+    def build_launch_graph(self, graph_names: Sequence[str]) -> tuple:
+        """Compose taskgraphs into one compiled launch (reference
+        ``buildLaunchGraph``). Returns a key for :meth:`run`."""
+        key = tuple(graph_names)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._compile(key)
+        return key
+
+    def run(self, launch=("step",), inputs: Optional[Dict[str, Any]] = None):
+        """One simulation step over all worlds (reference ``run()``).
+
+        Returns the dict of exported tensors (device arrays, zero-copy).
+        """
+        if isinstance(launch, str):
+            launch = (launch,)
+        fn = self._step_fns.get(tuple(launch))
+        if fn is None:
+            fn = self._compile(tuple(launch))
+            self._step_fns[tuple(launch)] = fn
+        self.state, outputs = fn(self.state, inputs or {})
+        return outputs
+
+    def get_exported(self, slot: str):
+        """Current value of an export slot (reference ``getExported``)."""
+        return self.sm.collect_exports(self.state)[slot]
+
+    # pure-functional access for training loops that scan over steps
+    def step_fn(self, launch=("step",)) -> Callable:
+        if isinstance(launch, str):
+            launch = (launch,)
+        key = tuple(launch)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._compile(key)
+        return self._step_fns[key]
