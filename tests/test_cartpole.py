@@ -13,7 +13,7 @@ import numpy as np
 
 from madrona_tpu.models import cartpole as cp
 from madrona_tpu.models.base import make_sim, rollout
-from madrona_tpu.utils import rng as _rng
+import np_rng
 
 
 def numpy_oracle(num_worlds, actions, seed):
@@ -21,11 +21,9 @@ def numpy_oracle(num_worlds, actions, seed):
     # Reproduce the engine's key tree: base = split(key(seed), world);
     # step_key = split(base, step); node_key = split(step_key, node_id);
     # reset draws = split(node_key, i) for i in 0..3.
-    base = np.asarray(
-        _rng.split_i(
-            np.broadcast_to(np.asarray(_rng.key(seed)), (num_worlds, 2)),
-            np.arange(num_worlds, dtype=np.uint32),
-        )
+    base = np_rng.split_i(
+        np.broadcast_to(np_rng.key(np.uint32(seed)), (num_worlds, 2)),
+        np.arange(num_worlds, dtype=np.uint32),
     )
 
     s = np.zeros((num_worlds, 4), np.float32)
@@ -34,18 +32,12 @@ def numpy_oracle(num_worlds, actions, seed):
     T = actions.shape[0]
     obs_hist, rew_hist, done_hist = [], [], []
     for t in range(T):
-        step_key = np.asarray(
-            _rng.split_i(base, np.full(num_worlds, t, np.uint32))
-        )
-        node_key = np.asarray(
-            _rng.split_i(step_key, np.zeros(num_worlds, np.uint32))
-        )  # reset system is node 0
+        step_key = np_rng.split_i(base, np.full(num_worlds, t, np.uint32))
+        node_key = np_rng.split_i(step_key, np.zeros(num_worlds, np.uint32))
         draws = np.stack(
             [
-                np.asarray(
-                    _rng.sample_uniform(
-                        _rng.split_i(node_key, np.full(num_worlds, i, np.uint32))
-                    )
+                np_rng.uniform(
+                    np_rng.split_i(node_key, np.full(num_worlds, i, np.uint32))
                 )
                 for i in range(4)
             ],
