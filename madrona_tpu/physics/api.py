@@ -1,0 +1,252 @@
+"""PhysicsSystem: registration + taskgraph wiring facade.
+
+Mirrors the reference's public surface (``PhysicsSystem::registerTypes`` /
+``init`` / ``setupPhysicsStepTasks`` / ``setupCleanupTasks``,
+``include/madrona/physics.hpp:158-226``, ``src/physics/physics.cpp:308-407``).
+
+Execution-shape note: the reference splices ~10 taskgraph nodes per
+substep (integrate -> narrowphase -> solvePositions -> setVelocities ->
+solveVelocities -> clear); here the whole substep loop is one fused
+custom node — the node granularity existed to let the megakernel
+work-steal between phases, which XLA's fusion replaces. Broadphase
+candidates are computed once per step before the substep loop, exactly
+like setupPreIntegrationTasks (physics.cpp:344-353).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.registry import ECSRegistry
+from ..core.state import SimState, StateManager
+from ..graph.builder import TaskGraphBuilder, TaskGraphID
+from ..utils import math3d as m3
+from . import broadphase as bp
+from . import geo
+from . import narrowphase as np_
+from .bodies import ObjectManager
+from .xpbd import BodyState, Contacts, PhysicsConfig
+from . import xpbd
+
+RIGID_BODY = "RigidBody"
+
+
+def register_types(reg: ECSRegistry, max_bodies: int):
+    """Register the RigidBody archetype (the reference's RigidBody bundle,
+    physics.hpp:37-46, + XPBD solver components, xpbd.cpp:26-47)."""
+    reg.register_component("Position", (3,))
+    reg.register_component("Rotation", (4,))
+    reg.register_component("Scale", (3,))
+    reg.register_component("Velocity", fields={
+        "linear": ((3,), jnp.float32), "angular": ((3,), jnp.float32),
+    })
+    reg.register_component("ObjectID", (), jnp.int32)
+    reg.register_component("ResponseType", (), jnp.int32)
+    reg.register_component("ExternalForce", (3,))
+    reg.register_component("ExternalTorque", (3,))
+    reg.register_component("SubstepPrev", fields={
+        "x": ((3,), jnp.float32), "q": ((4,), jnp.float32),
+    })
+    reg.register_component("PreSolvePositional", fields={
+        "x": ((3,), jnp.float32), "q": ((4,), jnp.float32),
+    })
+    reg.register_component("PreSolveVelocity", fields={
+        "v": ((3,), jnp.float32), "omega": ((3,), jnp.float32),
+    })
+    reg.register_archetype(
+        RIGID_BODY,
+        [
+            "Position", "Rotation", "Scale", "ObjectID", "ResponseType",
+            "Velocity", "ExternalForce", "ExternalTorque",
+            "SubstepPrev", "PreSolvePositional", "PreSolveVelocity",
+        ],
+        capacity=max_bodies,
+    )
+
+
+def body_state(sm: StateManager, state: SimState) -> BodyState:
+    """View the RigidBody table as a solver BodyState (zero-copy)."""
+    from ..core import archetype as _arch
+
+    t = state.tables[RIGID_BODY]
+    cap = sm.archetypes[RIGID_BODY].capacity
+    c = t.columns
+    return BodyState(
+        pos=c["Position"], rot=c["Rotation"], scale=c["Scale"],
+        vel=c["Velocity"]["linear"], omega=c["Velocity"]["angular"],
+        obj_id=c["ObjectID"], response=c["ResponseType"],
+        ext_force=c["ExternalForce"], ext_torque=c["ExternalTorque"],
+        prev_x=c["SubstepPrev"]["x"], prev_q=c["SubstepPrev"]["q"],
+        presolve_x=c["PreSolvePositional"]["x"],
+        presolve_q=c["PreSolvePositional"]["q"],
+        presolve_v=c["PreSolveVelocity"]["v"],
+        presolve_w=c["PreSolveVelocity"]["omega"],
+        active=_arch.row_mask(t, cap),
+    )
+
+
+def write_back(sm: StateManager, state: SimState, body: BodyState) -> SimState:
+    t = state.tables[RIGID_BODY]
+    cols = dict(t.columns)
+    cols["Position"] = body.pos
+    cols["Rotation"] = body.rot
+    cols["Velocity"] = {"linear": body.vel, "angular": body.omega}
+    cols["SubstepPrev"] = {"x": body.prev_x, "q": body.prev_q}
+    cols["PreSolvePositional"] = {"x": body.presolve_x, "q": body.presolve_q}
+    cols["PreSolveVelocity"] = {"v": body.presolve_v, "omega": body.presolve_w}
+    tables = dict(state.tables)
+    tables[RIGID_BODY] = dataclasses.replace(t, columns=cols)
+    return dataclasses.replace(state, tables=tables)
+
+
+def _narrowphase_all(
+    body: BodyState, om: ObjectManager, cands: bp.Candidates
+) -> Contacts:
+    """Run the typed narrowphase kernels over the candidate buffers and
+    emit the fixed-layout contact buffer (segments: [HH | HP | S])."""
+    w, n = body.pos.shape[:2]
+
+    def gather(row):
+        r = jnp.clip(row, 0, n - 1)
+        return dict(
+            pos=body.pos[r], rot=body.rot[r], scale=body.scale[r],
+            obj=body.obj_id[r],
+        )
+
+    # --- hull-hull kernel
+    def hh_lane(pos, rot, scale, obj, pair):
+        a_row = jnp.clip(pair[0], 0, n - 1)
+        b_row = jnp.clip(pair[1], 0, n - 1)
+        ha = np_.hull_to_world(om, obj[a_row], pos[a_row], rot[a_row], scale[a_row])
+        hb = np_.hull_to_world(om, obj[b_row], pos[b_row], rot[b_row], scale[b_row])
+        c = np_.hull_hull_contact(ha, hb)
+        ref = jnp.where(c["ref_is_a"], pair[0], pair[1])
+        alt = jnp.where(c["ref_is_a"], pair[1], pair[0])
+        ok = c["valid"] & (pair[0] < n)
+        return (
+            jnp.where(ok, ref, n), jnp.where(ok, alt, n),
+            jnp.concatenate([c["points"], c["depths"][:, None]], axis=-1),
+            jnp.where(ok, c["num"], 0), c["normal"],
+        )
+
+    def hp_lane(pos, rot, scale, obj, pair):
+        h_row = jnp.clip(pair[0], 0, n - 1)
+        p_row = jnp.clip(pair[1], 0, n - 1)
+        h = np_.hull_to_world(om, obj[h_row], pos[h_row], rot[h_row], scale[h_row])
+        c = np_.hull_plane_contact(h, pos[p_row], rot[p_row])
+        ok = c["valid"] & (pair[0] < n)
+        # plane is ref
+        return (
+            jnp.where(ok, pair[1], n), jnp.where(ok, pair[0], n),
+            jnp.concatenate([c["points"], c["depths"][:, None]], axis=-1),
+            jnp.where(ok, c["num"], 0), c["normal"],
+        )
+
+    def sp_lane(pos, rot, scale, obj, pair, kind):
+        s_row = jnp.clip(pair[0], 0, n - 1)
+        o_row = jnp.clip(pair[1], 0, n - 1)
+        radius = om.sphere_radius[obj[s_row]] * scale[s_row, 0]
+        c_ss = np_.sphere_sphere_contact(
+            pos[s_row], radius, pos[o_row],
+            om.sphere_radius[obj[o_row]] * scale[o_row, 0],
+        )
+        c_sp = np_.sphere_plane_contact(
+            pos[s_row], radius, pos[o_row], rot[o_row]
+        )
+        h = np_.hull_to_world(om, obj[o_row], pos[o_row], rot[o_row], scale[o_row])
+        c_sh = np_.sphere_hull_contact(pos[s_row], radius, h)
+        is_plane = kind == geo.TYPE_PLANE
+        is_hull = kind == geo.TYPE_HULL
+        pick = lambda f: jnp.where(
+            is_plane, c_sp[f], jnp.where(is_hull, c_sh[f], c_ss[f])
+        )
+        ok = pick("valid") & (pair[0] < n)
+        # ref is always the second body (hull/plane/other-sphere)
+        return (
+            jnp.where(ok, pair[1], n), jnp.where(ok, pair[0], n),
+            jnp.concatenate(
+                [pick("points"), pick("depths")[:, None]], axis=-1
+            ),
+            jnp.where(ok, pick("num"), 0), pick("normal"),
+        )
+
+    def run(lane, cand, *extra):
+        per_world = jax.vmap(
+            lambda pos, rot, scale, obj, pairs, *ex: jax.vmap(
+                lambda pr, *e: lane(pos, rot, scale, obj, pr, *e)
+            )(pairs, *ex)
+        )
+        return per_world(
+            body.pos, body.rot, body.scale, body.obj_id, cand, *extra
+        )
+
+    hh = run(hh_lane, cands.hh)
+    hp = run(hp_lane, cands.hp)
+    sp = run(sp_lane, cands.sp, cands.sp_kind)
+
+    cat = lambda i: jnp.concatenate([hh[i], hp[i], sp[i]], axis=1)
+    return Contacts(
+        ref=cat(0), alt=cat(1), points=cat(2),
+        num=cat(3), normal=cat(4),
+        lambda_n=jnp.zeros(cat(3).shape, jnp.float32),
+    )
+
+
+def make_physics_node(
+    sm: StateManager,
+    om: ObjectManager,
+    cfg: PhysicsConfig,
+    caps: Optional[bp.CandidateCaps] = None,
+):
+    """Build the physics step fn for ``builder.custom`` — the equivalent
+    of the whole setupPhysicsStepTasks node chain (physics.cpp:353-386)."""
+    caps = caps or bp.CandidateCaps()
+    h = cfg.dt / cfg.substeps
+    gravity = jnp.asarray(cfg.gravity, jnp.float32)
+
+    def physics_step(sm_, state: SimState, node_key) -> SimState:
+        body = body_state(sm_, state)
+        cands = bp.find_candidates(body, om, caps, cfg.dt)
+
+        def substep(body, _):
+            body = xpbd.integrate(body, om, h, gravity)
+            contacts = _narrowphase_all(body, om, cands)
+            body, contacts = xpbd.solve_positions(body, contacts, om)
+            body = xpbd.set_velocities(body, h)
+            body = xpbd.solve_velocities(
+                body, contacts, om, h,
+                cfg.restitution, cfg.restitution_threshold,
+            )
+            return body, None
+
+        body, _ = jax.lax.scan(
+            substep, body, None, length=cfg.substeps
+        )
+        # external forces are consumed each step (reference apps zero them
+        # in their own systems; we clear after use)
+        body = dataclasses.replace(
+            body,
+            ext_force=jnp.zeros_like(body.ext_force),
+            ext_torque=jnp.zeros_like(body.ext_torque),
+        )
+        return write_back(sm_, state, body)
+
+    return physics_step
+
+
+def setup_physics_step_tasks(
+    builder: TaskGraphBuilder,
+    om: ObjectManager,
+    cfg: PhysicsConfig,
+    caps: Optional[bp.CandidateCaps] = None,
+    deps=(),
+) -> TaskGraphID:
+    return builder.custom(
+        make_physics_node(builder.sm, om, cfg, caps),
+        deps=deps,
+        name="physics_step",
+    )

@@ -1,0 +1,196 @@
+"""Rigid-body object registry: the ObjectManager equivalent.
+
+TPU-native re-design of ``ObjectManager`` / ``RigidBodyMetadata``
+(``include/madrona/physics.hpp:99-157``) + the loader
+(``src/physics/physics_loader.cpp``): all registered object types' collision
+primitives and mass data are packed into stacked device arrays indexed by
+ObjectID, shared (read-only) by every world. One primitive per object
+(compound bodies = future extension; the reference's example envs are all
+single-primitive too).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import geo
+
+RESPONSE_DYNAMIC = 0
+RESPONSE_KINEMATIC = 1
+RESPONSE_STATIC = 2
+
+
+@dataclasses.dataclass
+class ObjectManager:
+    """Static (per-app, not per-world) object tables, as device arrays."""
+
+    prim_type: jnp.ndarray        # [O] i32 (geo.TYPE_*)
+    sphere_radius: jnp.ndarray    # [O] f32
+    # hull tables (zeros for non-hull objects)
+    hull_verts: jnp.ndarray       # [O, MAX_VERTS, 3]
+    hull_verts_mask: jnp.ndarray  # [O, MAX_VERTS]
+    hull_planes: jnp.ndarray      # [O, MAX_FACES, 4]
+    hull_faces_mask: jnp.ndarray  # [O, MAX_FACES]
+    hull_face_verts: jnp.ndarray  # [O, MAX_FACES, MAX_FACE_VERTS]
+    hull_edges: jnp.ndarray       # [O, MAX_EDGES, 2]
+    hull_edge_faces: jnp.ndarray  # [O, MAX_EDGES, 2]
+    hull_edges_mask: jnp.ndarray  # [O, MAX_EDGES]
+    # metadata (RigidBodyMetadata)
+    inv_mass: jnp.ndarray         # [O] f32
+    inv_inertia: jnp.ndarray      # [O, 3] f32 (diagonal, principal frame)
+    mu_s: jnp.ndarray             # [O] f32
+    mu_d: jnp.ndarray             # [O] f32
+    local_aabb_min: jnp.ndarray   # [O, 3]
+    local_aabb_max: jnp.ndarray   # [O, 3]
+
+    @property
+    def num_objects(self) -> int:
+        return self.prim_type.shape[0]
+
+
+class ObjectRegistry:
+    """Build-time accumulator; ``build()`` packs device arrays."""
+
+    def __init__(self):
+        self._rows: List[dict] = []
+
+    def _add(self, **row) -> int:
+        self._rows.append(row)
+        return len(self._rows) - 1
+
+    def add_sphere(
+        self, radius: float, mass: float = 1.0,
+        mu_s: float = 0.5, mu_d: float = 0.5,
+        response: int = RESPONSE_DYNAMIC,
+    ) -> int:
+        r = float(radius)
+        inv_m = 0.0 if response == RESPONSE_STATIC or mass == 0 else 1.0 / mass
+        # solid sphere inertia: 2/5 m r^2
+        i = 0.4 * mass * r * r
+        inv_i = 0.0 if inv_m == 0.0 else 1.0 / i
+        return self._add(
+            prim_type=geo.TYPE_SPHERE, radius=r, hull=None,
+            inv_mass=inv_m, inv_inertia=np.full(3, inv_i, np.float32),
+            mu_s=mu_s, mu_d=mu_d,
+            aabb=(np.full(3, -r, np.float32), np.full(3, r, np.float32)),
+        )
+
+    def add_plane(self, mu_s: float = 0.5, mu_d: float = 0.5) -> int:
+        """The infinite z=0 plane primitive (normal +z in local frame),
+        positioned/oriented by the entity's transform. Always static."""
+        big = 1e9
+        return self._add(
+            prim_type=geo.TYPE_PLANE, radius=0.0, hull=None,
+            inv_mass=0.0, inv_inertia=np.zeros(3, np.float32),
+            mu_s=mu_s, mu_d=mu_d,
+            aabb=(
+                np.array([-big, -big, -big], np.float32),
+                np.array([big, big, 0.0], np.float32),
+            ),
+        )
+
+    def add_hull(
+        self, hull: geo.HullData, mass: float = 1.0,
+        mu_s: float = 0.5, mu_d: float = 0.5,
+        response: int = RESPONSE_DYNAMIC,
+        inertia_diag: Optional[np.ndarray] = None,
+    ) -> int:
+        if response == RESPONSE_STATIC or mass == 0:
+            inv_m = 0.0
+            inv_i = np.zeros(3, np.float32)
+        else:
+            inv_m = 1.0 / mass
+            if inertia_diag is None:
+                m_unit, _com, evals, _ = geo.hull_mass_properties(hull, 1.0)
+                inertia_diag = evals * (mass / m_unit)
+            inv_i = (1.0 / np.maximum(np.asarray(inertia_diag), 1e-12)).astype(
+                np.float32
+            )
+        v = hull.verts[hull.verts_mask]
+        return self._add(
+            prim_type=geo.TYPE_HULL, radius=0.0, hull=hull,
+            inv_mass=inv_m, inv_inertia=inv_i, mu_s=mu_s, mu_d=mu_d,
+            aabb=(v.min(axis=0), v.max(axis=0)),
+        )
+
+    def add_box(
+        self, half_extents, mass: float = 1.0,
+        mu_s: float = 0.5, mu_d: float = 0.5,
+        response: int = RESPONSE_DYNAMIC,
+    ) -> int:
+        he = np.broadcast_to(np.asarray(half_extents, np.float32), (3,))
+        if response == RESPONSE_STATIC or mass == 0:
+            inertia = None
+        else:
+            # analytic box inertia
+            ex, ey, ez = (2 * he).tolist()
+            inertia = (
+                np.array(
+                    [ey * ey + ez * ez, ex * ex + ez * ez, ex * ex + ey * ey],
+                    np.float32,
+                )
+                * mass
+                / 12.0
+            )
+        return self.add_hull(
+            geo.box_hull(he), mass=mass, mu_s=mu_s, mu_d=mu_d,
+            response=response, inertia_diag=inertia,
+        )
+
+    def build(self) -> ObjectManager:
+        n = len(self._rows)
+        if n == 0:
+            raise ValueError("no objects registered")
+        z_hull = geo.build_hull(
+            np.array(
+                [[0, 0, 0], [1e-4, 0, 0], [0, 1e-4, 0], [0, 0, 1e-4]],
+                np.float32,
+            ),
+            [[0, 2, 1], [0, 1, 3], [1, 2, 3], [2, 0, 3]],
+        )
+
+        def stack(get):
+            return np.stack([get(r) for r in self._rows])
+
+        hull_of = lambda r: r["hull"] if r["hull"] is not None else z_hull
+        om = ObjectManager(
+            prim_type=jnp.asarray(stack(lambda r: np.int32(r["prim_type"]))),
+            sphere_radius=jnp.asarray(
+                stack(lambda r: np.float32(r["radius"]))
+            ),
+            hull_verts=jnp.asarray(stack(lambda r: hull_of(r).verts)),
+            hull_verts_mask=jnp.asarray(
+                stack(lambda r: hull_of(r).verts_mask)
+            ),
+            hull_planes=jnp.asarray(stack(lambda r: hull_of(r).planes)),
+            hull_faces_mask=jnp.asarray(
+                stack(lambda r: hull_of(r).faces_mask)
+            ),
+            hull_face_verts=jnp.asarray(
+                stack(lambda r: hull_of(r).face_verts)
+            ),
+            hull_edges=jnp.asarray(stack(lambda r: hull_of(r).edges)),
+            hull_edge_faces=jnp.asarray(
+                stack(lambda r: hull_of(r).edge_faces)
+            ),
+            hull_edges_mask=jnp.asarray(
+                stack(lambda r: hull_of(r).edges_mask)
+            ),
+            inv_mass=jnp.asarray(stack(lambda r: np.float32(r["inv_mass"]))),
+            inv_inertia=jnp.asarray(
+                stack(lambda r: np.asarray(r["inv_inertia"], np.float32))
+            ),
+            mu_s=jnp.asarray(stack(lambda r: np.float32(r["mu_s"]))),
+            mu_d=jnp.asarray(stack(lambda r: np.float32(r["mu_d"]))),
+            local_aabb_min=jnp.asarray(
+                stack(lambda r: np.asarray(r["aabb"][0], np.float32))
+            ),
+            local_aabb_max=jnp.asarray(
+                stack(lambda r: np.asarray(r["aabb"][1], np.float32))
+            ),
+        )
+        return om

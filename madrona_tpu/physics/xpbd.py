@@ -1,0 +1,466 @@
+"""XPBD rigid-body solver: substepped position-based dynamics.
+
+TPU-native re-design of ``src/physics/xpbd.cpp`` (1,146 LoC). The math is
+a faithful mirror (same update equations, same operation order within a
+contact); the execution shape is the TPU translation:
+
+  * The reference runs ``solvePositions`` as one serial Gauss-Seidel
+    thread per world (ParallelFor over the SolverState singleton — one
+    invocation per world even on GPU, xpbd.cpp:720-736). Here the same
+    serial-per-world loop is a ``lax.fori_loop`` over contact slots with
+    every world advancing in lockstep — iteration i updates contact i of
+    all worlds at once. Identical ordering semantics, massively parallel
+    across worlds.
+  * Body state is gathered/scattered by row index per contact; masked
+    slots route out of bounds (drop-mode scatter), the engine-wide rule.
+
+Equation parity map (reference -> here):
+  substepRigidBodies (xpbd.cpp:98-185)      -> integrate
+  handleContactConstraint (:322-421)        -> _solve_contact
+  applyPositionalUpdate (:225-307)          -> _apply_positional_update
+  solvePositions (:720-736)                 -> solve_positions
+  setVelocities (:738-779)                  -> set_velocities
+  applyRestitutionVelocityUpdate (:860-920) -> inside _solve_velocity
+  applyFrictionVelocityUpdate (:789-858)    -> inside _solve_velocity
+  handleJointConstraint (:552-718)          -> solve_joints
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import math3d as m3
+from .bodies import RESPONSE_DYNAMIC, RESPONSE_STATIC
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    dt: float = 1.0 / 30.0
+    substeps: int = 4
+    gravity: tuple = (0.0, 0.0, -9.8)
+    restitution: float = 0.3        # reference hardcodes e=0.3 (xpbd.cpp:884)
+    restitution_threshold: float = 0.2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BodyState:
+    """All rigid bodies of all worlds: [W, N, ...] arrays."""
+
+    pos: jax.Array          # [W, N, 3]
+    rot: jax.Array          # [W, N, 4] (w,x,y,z)
+    scale: jax.Array        # [W, N, 3]
+    vel: jax.Array          # [W, N, 3]
+    omega: jax.Array        # [W, N, 3]
+    obj_id: jax.Array       # [W, N] i32
+    response: jax.Array     # [W, N] i32
+    ext_force: jax.Array    # [W, N, 3]
+    ext_torque: jax.Array   # [W, N, 3]
+    # solver scratch (SubstepPrevState / PreSolvePositional / PreSolveVelocity)
+    prev_x: jax.Array
+    prev_q: jax.Array
+    presolve_x: jax.Array
+    presolve_q: jax.Array
+    presolve_v: jax.Array
+    presolve_w: jax.Array
+    active: jax.Array       # [W, N] bool — row liveness
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Contacts:
+    """Fixed-capacity per-world contact buffer: [W, C, ...]."""
+
+    ref: jax.Array        # [W, C] i32 body row (N = invalid sentinel)
+    alt: jax.Array        # [W, C] i32
+    points: jax.Array     # [W, C, 4, 4] (xyz = point on ref surface, w = depth)
+    num: jax.Array        # [W, C] i32 (0 = inactive)
+    normal: jax.Array     # [W, C, 3] ref -> other
+    lambda_n: jax.Array   # [W, C] accumulated normal impulse (position solve)
+
+
+def integrate(body: BodyState, om, h: float, gravity) -> BodyState:
+    """substepRigidBodies: save prev state, apply gravity/external force,
+    integrate velocity -> position, gyroscopic omega update, quaternion
+    integration (xpbd.cpp:98-185)."""
+    g = jnp.asarray(gravity, jnp.float32)
+    inv_m = om.inv_mass[body.obj_id]              # [W, N]
+    inv_i = om.inv_inertia[body.obj_id]           # [W, N, 3]
+    dynamic = body.response == RESPONSE_DYNAMIC
+    static = body.response == RESPONSE_STATIC
+    moving = (~static) & body.active
+
+    prev_x = body.pos
+    prev_q = body.rot
+
+    v = body.vel + jnp.where(
+        dynamic[..., None], h * g[None, None, :], 0.0
+    )
+    v = v + h * inv_m[..., None] * body.ext_force
+    x = body.pos + h * v
+
+    inertia = jnp.where(inv_i == 0.0, 0.0, 1.0 / jnp.where(inv_i == 0, 1, inv_i))
+    q_inv = m3.quat_inv(body.rot)
+    tau_local = m3.quat_rotate(q_inv, body.ext_torque)
+    w_local = m3.quat_rotate(q_inv, body.omega)
+    i_w_local = inertia * w_local
+    w_local = w_local + h * inv_i * (
+        tau_local - jnp.cross(w_local, i_w_local)
+    )
+    omega = m3.quat_rotate(body.rot, w_local)
+
+    # q += fromAngularVec(0.5*h*omega) * q; normalize
+    half = 0.5 * h * omega
+    apply_q = jnp.concatenate(
+        [jnp.zeros_like(half[..., :1]), half], axis=-1
+    )
+    q = m3.quat_normalize(body.rot + m3.quat_mul(apply_q, body.rot))
+
+    x = jnp.where(moving[..., None], x, body.pos)
+    q = jnp.where(moving[..., None], q, body.rot)
+    v_out = jnp.where(moving[..., None], v, 0.0)
+    w_out = jnp.where(moving[..., None], omega, 0.0)
+
+    return dataclasses.replace(
+        body,
+        pos=x,
+        rot=q,
+        vel=jnp.where(static[..., None], body.vel, v_out),
+        omega=jnp.where(static[..., None], body.omega, w_out),
+        prev_x=prev_x,
+        prev_q=prev_q,
+        presolve_x=x,
+        presolve_q=q,
+        presolve_v=v_out,
+        presolve_w=w_out,
+    )
+
+
+def _get_avg_contact(points, num):
+    """Penetration-weighted average point + max depth (getAvgContact,
+    xpbd.cpp:420-448). Returns (avg [3], max_depth, zero_sep bool)."""
+    idx = jnp.arange(4)
+    live = idx < num
+    w = jnp.where(live, points[:, 3], 0.0)
+    total = jnp.sum(w)
+    zero = total == 0.0
+    avg = jnp.sum(
+        (w / jnp.where(zero, 1.0, total))[:, None] * points[:, :3], axis=0
+    )
+    max_pen = jnp.max(jnp.where(live, points[:, 3], -3e38))
+    return avg, max_pen, zero
+
+
+def _generalized_inv_mass(torque_axis, rot_axis, inv_m):
+    return inv_m + jnp.sum(torque_axis * rot_axis, axis=-1)
+
+
+def _apply_positional_update(
+    x1, x2, q1, q2, r1, r2, inv_m1, inv_m2, inv_i1, inv_i2, n_world, c,
+    alpha_tilde,
+):
+    """applyPositionalUpdate (xpbd.cpp:254-307): returns updated
+    (x1, x2, q1, q2, lambda)."""
+    n_l1 = m3.quat_rotate(m3.quat_inv(q1), n_world)
+    n_l2 = m3.quat_rotate(m3.quat_inv(q2), n_world)
+    t_axis1 = jnp.cross(r1, n_l1)
+    t_axis2 = jnp.cross(r2, n_l2)
+    rot_axis1 = inv_i1 * t_axis1
+    rot_axis2 = inv_i2 * t_axis2
+    w1 = _generalized_inv_mass(t_axis1, rot_axis1, inv_m1)
+    w2 = _generalized_inv_mass(t_axis2, rot_axis2, inv_m2)
+    lam = -c / (w1 + w2 + alpha_tilde)
+
+    x1 = x1 + (lam * inv_m1)[..., None] * n_world
+    x2 = x2 - (lam * inv_m2)[..., None] * n_world
+    half = 0.5 * lam
+    dq1 = m3.quat_rotate(q1, half[..., None] * rot_axis1)
+    dq2 = m3.quat_rotate(q2, half[..., None] * rot_axis2)
+    q1 = m3.quat_normalize(q1 + m3.quat_mul(_pure(dq1), q1))
+    q2 = m3.quat_normalize(q2 - m3.quat_mul(_pure(dq2), q2))
+    return x1, x2, q1, q2, lam
+
+
+def _pure(v):
+    return jnp.concatenate([jnp.zeros_like(v[..., :1]), v], axis=-1)
+
+
+def _solve_contact(
+    x1, x2, q1, q2, prev_x1, prev_q1, prev_x2, prev_q2,
+    inv_m1, inv_m2, inv_i1, inv_i2, r1, r2, n_world, avg_mu_s,
+):
+    """handleContactConstraint (xpbd.cpp:322-421): normal positional
+    correction + static-friction positional correction. Returns
+    (x1, x2, q1, q2, lambda_n)."""
+    p1 = m3.quat_rotate(q1, r1) + x1
+    p2 = m3.quat_rotate(q2, r2) + x2
+    d = jnp.sum((p1 - p2) * n_world, axis=-1)
+    penetrating = d > 0.0
+
+    nx1, nx2, nq1, nq2, lam_n = _apply_positional_update(
+        x1, x2, q1, q2, r1, r2, inv_m1, inv_m2, inv_i1, inv_i2,
+        n_world, d, 0.0,
+    )
+    x1 = jnp.where(penetrating[..., None], nx1, x1)
+    x2 = jnp.where(penetrating[..., None], nx2, x2)
+    q1 = jnp.where(penetrating[..., None], nq1, q1)
+    q2 = jnp.where(penetrating[..., None], nq2, q2)
+    lam_n = jnp.where(penetrating, lam_n, 0.0)
+
+    # static friction (only if the normal correction fired)
+    p1_hat = m3.quat_rotate(prev_q1, r1) + prev_x1
+    p2_hat = m3.quat_rotate(prev_q2, r2) + prev_x2
+    p1 = m3.quat_rotate(q1, r1) + x1
+    p2 = m3.quat_rotate(q2, r2) + x2
+    delta_p = (p1 - p1_hat) - (p2 - p2_hat)
+    delta_p_t = delta_p - jnp.sum(delta_p * n_world, axis=-1, keepdims=True) * n_world
+    t_mag = jnp.sqrt(jnp.maximum(jnp.sum(delta_p_t**2, axis=-1), 1e-30))
+    t_world = delta_p_t / t_mag[..., None]
+
+    t_l1 = m3.quat_rotate(m3.quat_inv(q1), t_world)
+    t_l2 = m3.quat_rotate(m3.quat_inv(q2), t_world)
+    ft_axis1 = jnp.cross(r1, t_l1)
+    ft_axis2 = jnp.cross(r2, t_l2)
+    fr_axis1 = inv_i1 * ft_axis1
+    fr_axis2 = inv_i2 * ft_axis2
+    w1 = _generalized_inv_mass(ft_axis1, fr_axis1, inv_m1)
+    w2 = _generalized_inv_mass(ft_axis2, fr_axis2, inv_m2)
+    lam_t = -t_mag / (w1 + w2)
+    # reference: apply when lambda_t > lambda_n * mu_s (both negative)
+    apply_friction = (
+        penetrating & (t_mag > 0.0) & (lam_t > lam_n * avg_mu_s)
+    )
+    fx1 = x1 + lam_t[..., None] * inv_m1[..., None] * t_world
+    fx2 = x2 - lam_t[..., None] * inv_m2[..., None] * t_world
+    half = 0.5 * lam_t
+    dq1 = m3.quat_rotate(q1, half[..., None] * fr_axis1)
+    dq2 = m3.quat_rotate(q2, half[..., None] * fr_axis2)
+    fq1 = m3.quat_normalize(q1 + m3.quat_mul(_pure(dq1), q1))
+    fq2 = m3.quat_normalize(q2 - m3.quat_mul(_pure(dq2), q2))
+    x1 = jnp.where(apply_friction[..., None], fx1, x1)
+    x2 = jnp.where(apply_friction[..., None], fx2, x2)
+    q1 = jnp.where(apply_friction[..., None], fq1, q1)
+    q2 = jnp.where(apply_friction[..., None], fq2, q2)
+    return x1, x2, q1, q2, lam_n
+
+
+def _gather_body(body: BodyState, om, row):
+    """Gather per-world body slices for one contact slot. row: [W]."""
+    w = row.shape[0]
+    widx = jnp.arange(w)
+    n = body.pos.shape[1]
+    r = jnp.clip(row, 0, n - 1)
+    take = lambda a: a[widx, r]
+    inv_m = om.inv_mass[take(body.obj_id)]
+    inv_i = om.inv_inertia[take(body.obj_id)]
+    static = take(body.response) == RESPONSE_STATIC
+    inv_m = jnp.where(static, 0.0, inv_m)
+    inv_i = jnp.where(static[..., None], 0.0, inv_i)
+    return dict(
+        x=take(body.pos), q=take(body.rot),
+        prev_x=take(body.prev_x), prev_q=take(body.prev_q),
+        presolve_x=take(body.presolve_x), presolve_q=take(body.presolve_q),
+        presolve_v=take(body.presolve_v), presolve_w=take(body.presolve_w),
+        v=take(body.vel), w=take(body.omega),
+        inv_m=inv_m, inv_i=inv_i,
+        mu_s=om.mu_s[take(body.obj_id)], mu_d=om.mu_d[take(body.obj_id)],
+    )
+
+
+def _scatter_pose(body: BodyState, row, x, q, ok):
+    w, n = body.pos.shape[:2]
+    widx = jnp.arange(w)
+    safe = jnp.where(ok, row, n)
+    pos = body.pos.at[widx, safe].set(x, mode="drop")
+    rot = body.rot.at[widx, safe].set(q, mode="drop")
+    return dataclasses.replace(body, pos=pos, rot=rot)
+
+
+def _scatter_vel(body: BodyState, row, v, omg, ok):
+    w, n = body.pos.shape[:2]
+    widx = jnp.arange(w)
+    safe = jnp.where(ok, row, n)
+    vel = body.vel.at[widx, safe].set(v, mode="drop")
+    om_ = body.omega.at[widx, safe].set(omg, mode="drop")
+    return dataclasses.replace(body, vel=vel, omega=om_)
+
+
+def _local_contacts(b1, b2, avg_pt, depth, normal):
+    """getLocalSpaceContacts (xpbd.cpp:424-441): contact attachment points
+    in each body's presolve local frame."""
+    contact2 = avg_pt - normal * depth[..., None]
+    r1 = m3.quat_rotate(
+        m3.quat_inv(b1["presolve_q"]), avg_pt - b1["presolve_x"]
+    )
+    r2 = m3.quat_rotate(
+        m3.quat_inv(b2["presolve_q"]), contact2 - b2["presolve_x"]
+    )
+    return r1, r2
+
+
+def solve_positions(body: BodyState, contacts: Contacts, om) -> tuple:
+    """Gauss-Seidel position solve over the contact buffer
+    (solvePositions, xpbd.cpp:720-736). Per-world solve order = slot
+    order, matching the reference's table-iteration order."""
+    ccap = contacts.ref.shape[1]
+
+    def step(i, carry):
+        body, lam_buf = carry
+        ref = contacts.ref[:, i]
+        alt = contacts.alt[:, i]
+        active = contacts.num[:, i] > 0
+        pts = contacts.points[:, i]           # [W, 4, 4]
+        nrm = contacts.normal[:, i]
+
+        avg, max_pen, zero = jax.vmap(_get_avg_contact)(
+            pts, contacts.num[:, i]
+        )
+        ok = active & (~zero)
+
+        b1 = _gather_body(body, om, ref)
+        b2 = _gather_body(body, om, alt)
+        r1, r2 = _local_contacts(b1, b2, avg, max_pen, nrm)
+        avg_mu_s = 0.5 * (b1["mu_s"] + b2["mu_s"])
+        x1, x2, q1, q2, lam_n = _solve_contact(
+            b1["x"], b2["x"], b1["q"], b2["q"],
+            b1["prev_x"], b1["prev_q"], b2["prev_x"], b2["prev_q"],
+            b1["inv_m"], b2["inv_m"], b1["inv_i"], b2["inv_i"],
+            r1, r2, nrm, avg_mu_s,
+        )
+        body = _scatter_pose(body, ref, x1, q1, ok)
+        body = _scatter_pose(body, alt, x2, q2, ok)
+        lam_buf = lam_buf.at[:, i].set(jnp.where(ok, lam_n, 0.0))
+        return body, lam_buf
+
+    lam0 = jnp.zeros_like(contacts.lambda_n)
+    body, lam = jax.lax.fori_loop(0, ccap, step, (body, lam0))
+    return body, dataclasses.replace(contacts, lambda_n=lam)
+
+
+def set_velocities(body: BodyState, h: float) -> BodyState:
+    """setVelocities (xpbd.cpp:738-779): velocity from substep delta."""
+    v = (body.pos - body.prev_x) / h
+    delta_q = m3.quat_mul(body.rot, m3.quat_inv(body.prev_q))
+    same = jnp.all(body.rot == body.prev_q, axis=-1)
+    new_omega = (2.0 / h) * delta_q[..., 1:4]
+    new_omega = jnp.where(
+        delta_q[..., 0:1] > 0.0, new_omega, -new_omega
+    )
+    new_omega = jnp.where(same[..., None], 0.0, new_omega)
+    static = body.response == RESPONSE_STATIC
+    keep = static[..., None] | (~body.active)[..., None]
+    return dataclasses.replace(
+        body,
+        vel=jnp.where(keep, body.vel, v),
+        omega=jnp.where(keep, body.omega, new_omega),
+    )
+
+
+def solve_velocities(
+    body: BodyState, contacts: Contacts, om, h: float,
+    restitution: float, restitution_threshold: float,
+) -> BodyState:
+    """solveVelocities (xpbd.cpp:1041-1053): restitution on the averaged
+    contact, then dynamic friction per manifold point with lambda_n
+    distributed by penetration fraction."""
+    ccap = contacts.ref.shape[1]
+
+    def step(i, body):
+        ref = contacts.ref[:, i]
+        alt = contacts.alt[:, i]
+        num = contacts.num[:, i]
+        active = num > 0
+        pts = contacts.points[:, i]
+        nrm = contacts.normal[:, i]
+        lam_n = contacts.lambda_n[:, i]
+
+        b1 = _gather_body(body, om, ref)
+        b2 = _gather_body(body, om, alt)
+        mu_d = 0.5 * (b1["mu_d"] + b2["mu_d"])
+
+        avg, max_pen, zero = jax.vmap(_get_avg_contact)(pts, num)
+        ok = active & (~zero)
+
+        r1, r2 = _local_contacts(b1, b2, avg, max_pen, nrm)
+        r1_pre = m3.quat_rotate(b1["presolve_q"], r1)
+        r2_pre = m3.quat_rotate(b2["presolve_q"], r2)
+        v_bar = (
+            b1["presolve_v"] + jnp.cross(b1["presolve_w"], r1_pre)
+        ) - (b2["presolve_v"] + jnp.cross(b2["presolve_w"], r2_pre))
+        vn_bar = jnp.sum(nrm * v_bar, axis=-1)
+
+        v1, w1 = b1["v"], b1["w"]
+        v2, w2 = b2["v"], b2["w"]
+        q1, q2 = b1["q"], b2["q"]
+
+        # ---- restitution (applyRestitutionVelocityUpdate)
+        r1_world = m3.quat_rotate(q1, r1)
+        r2_world = m3.quat_rotate(q2, r2)
+        rt_axis1 = jnp.cross(r1, m3.quat_rotate(m3.quat_inv(q1), nrm))
+        rt_axis2 = jnp.cross(r2, m3.quat_rotate(m3.quat_inv(q2), nrm))
+        v_now = (v1 + jnp.cross(w1, r1_world)) - (
+            v2 + jnp.cross(w2, r2_world)
+        )
+        vn = jnp.sum(nrm * v_now, axis=-1)
+        e = jnp.where(
+            jnp.abs(vn_bar) <= restitution_threshold, 0.0, restitution
+        )
+        rest_mag = jnp.minimum(-e * vn_bar, 0.0) - vn
+        rr_axis1 = b1["inv_i"] * rt_axis1
+        rr_axis2 = b2["inv_i"] * rt_axis2
+        gw1 = _generalized_inv_mass(rt_axis1, rr_axis1, b1["inv_m"])
+        gw2 = _generalized_inv_mass(rt_axis2, rr_axis2, b2["inv_m"])
+        imp = rest_mag / (gw1 + gw2)
+        imp = jnp.where(ok, imp, 0.0)
+        v1 = v1 + nrm * (imp * b1["inv_m"])[..., None]
+        v2 = v2 - nrm * (imp * b2["inv_m"])[..., None]
+        w1 = w1 + m3.quat_rotate(q1, imp[..., None] * rr_axis1)
+        w2 = w2 - m3.quat_rotate(q2, imp[..., None] * rr_axis2)
+
+        # ---- dynamic friction per manifold point
+        pen_sum = jnp.sum(
+            jnp.where(jnp.arange(4)[None, :] < num[:, None], pts[..., 3], 0.0),
+            axis=-1,
+        )
+        for pi in range(4):
+            live = ok & (pi < num) & (pen_sum > 0.0)
+            cp = pts[:, pi, :3]
+            depth = pts[:, pi, 3]
+            rr1, rr2 = _local_contacts(b1, b2, cp, depth, nrm)
+            rw1 = m3.quat_rotate(q1, rr1)
+            rw2 = m3.quat_rotate(q2, rr2)
+            lam_pt = lam_n * (depth / jnp.where(pen_sum > 0, pen_sum, 1.0))
+
+            v_rel = (v1 + jnp.cross(w1, rw1)) - (v2 + jnp.cross(w2, rw2))
+            vn_f = jnp.sum(nrm * v_rel, axis=-1)
+            vt = v_rel - nrm * vn_f[..., None]
+            vt_len = jnp.sqrt(jnp.maximum(jnp.sum(vt * vt, axis=-1), 1e-30))
+            has_t = vt_len > 1e-15
+            t_dir = vt / vt_len[..., None]
+            t_l1 = m3.quat_rotate(m3.quat_inv(q1), t_dir)
+            t_l2 = m3.quat_rotate(m3.quat_inv(q2), t_dir)
+            fta1 = jnp.cross(rr1, t_l1)
+            fta2 = jnp.cross(rr2, t_l2)
+            fra1 = b1["inv_i"] * fta1
+            fra2 = b2["inv_i"] * fta2
+            fw1 = _generalized_inv_mass(fta1, fra1, b1["inv_m"])
+            fw2 = _generalized_inv_mass(fta2, fra2, b2["inv_m"])
+            inv_scale = 1.0 / (fw1 + fw2)
+            dyn_mag = mu_d * jnp.abs(lam_pt) * inv_scale / h
+            corrected = -jnp.minimum(dyn_mag, vt_len)
+            f_imp = corrected * inv_scale
+            f_imp = jnp.where(live & has_t, f_imp, 0.0)
+            v1 = v1 + t_dir * (f_imp * b1["inv_m"])[..., None]
+            v2 = v2 - t_dir * (f_imp * b2["inv_m"])[..., None]
+            w1 = w1 + m3.quat_rotate(q1, f_imp[..., None] * fra1)
+            w2 = w2 - m3.quat_rotate(q2, f_imp[..., None] * fra2)
+
+        body = _scatter_vel(body, ref, v1, w1, ok)
+        body = _scatter_vel(body, alt, v2, w2, ok)
+        return body
+
+    return jax.lax.fori_loop(0, ccap, step, body)
