@@ -31,8 +31,10 @@ from . import narrowphase as np_
 from .bodies import ObjectManager
 from .xpbd import BodyState, Contacts, PhysicsConfig
 from . import xpbd
+from . import joints as _joints
 
 RIGID_BODY = "RigidBody"
+JOINT_BUFFER = "JointBuffer"
 
 
 def register_types(reg: ECSRegistry, max_bodies: int):
@@ -66,6 +68,40 @@ def register_types(reg: ECSRegistry, max_bodies: int):
         ],
         capacity=max_bodies,
     )
+
+
+def register_joint_types(reg: ECSRegistry, max_joints: int):
+    """Register the per-world joint buffer (reference: the JointConstraint
+    archetype created by PhysicsSystem::registerTypes,
+    src/physics/physics.cpp:145-180). Fixed capacity ``max_joints`` slots
+    per world; apps fill slots at world init via joints.make_*_joint."""
+    j = max_joints
+    reg.register_singleton(JOINT_BUFFER, fields={
+        "e1": ((j,), jnp.int32), "e2": ((j,), jnp.int32),
+        "jtype": ((j,), jnp.int32),
+        "r1": ((j, 3), jnp.float32), "r2": ((j, 3), jnp.float32),
+        "attach_q1": ((j, 4), jnp.float32),
+        "attach_q2": ((j, 4), jnp.float32),
+        "separation": ((j,), jnp.float32),
+        "a1_local": ((j, 3), jnp.float32),
+        "a2_local": ((j, 3), jnp.float32),
+        "active": ((j,), jnp.bool_),
+    })
+
+
+def joints_view(state: SimState) -> _joints.Joints:
+    """View the JointBuffer singleton as a solver Joints pytree."""
+    s = state.singletons[JOINT_BUFFER]
+    return _joints.Joints(**s)
+
+
+def write_joints(state: SimState, joints: _joints.Joints) -> SimState:
+    singles = dict(state.singletons)
+    singles[JOINT_BUFFER] = {
+        f.name: getattr(joints, f.name)
+        for f in dataclasses.fields(joints)
+    }
+    return dataclasses.replace(state, singletons=singles)
 
 
 def body_state(sm: StateManager, state: SimState) -> BodyState:
@@ -211,11 +247,15 @@ def make_physics_node(
     def physics_step(sm_, state: SimState, node_key) -> SimState:
         body = body_state(sm_, state)
         cands = bp.find_candidates(body, om, caps, cfg.dt)
+        has_joints = JOINT_BUFFER in sm_.singletons
+        jbuf = joints_view(state) if has_joints else None
 
         def substep(body, _):
             body = xpbd.integrate(body, om, h, gravity)
             contacts = _narrowphase_all(body, om, cands)
             body, contacts = xpbd.solve_positions(body, contacts, om)
+            if has_joints:
+                body = _joints.solve_joints(body, jbuf, om)
             body = xpbd.set_velocities(body, h)
             body = xpbd.solve_velocities(
                 body, contacts, om, h,

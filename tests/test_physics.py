@@ -371,3 +371,112 @@ def test_worlds_independent():
     b10 = run_steps(body, om, cfg, 10)
     # both fall, world1 from higher -> strictly higher at t=10 steps
     assert float(b10.pos[1, 1, 2]) > float(b10.pos[0, 1, 2])
+
+
+# ------------------------------------------------------------------ joints
+
+
+def run_steps_with_joints(body, joints, om, cfg, steps):
+    from madrona_tpu.physics import joints as jt
+
+    caps = bp.CandidateCaps(hull_hull=8, hull_plane=8, sphere_any=8)
+    h = cfg.dt / cfg.substeps
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+
+    @jax.jit
+    def step(body):
+        cands = bp.find_candidates(body, om, caps, cfg.dt)
+
+        def substep(b, _):
+            b = xpbd.integrate(b, om, h, g)
+            contacts = api._narrowphase_all(b, om, cands)
+            b, contacts = xpbd.solve_positions(b, contacts, om)
+            b = jt.solve_joints(b, joints, om)
+            b = xpbd.set_velocities(b, h)
+            b = xpbd.solve_velocities(
+                b, contacts, om, h, cfg.restitution,
+                cfg.restitution_threshold,
+            )
+            return b, None
+
+        body, _ = jax.lax.scan(substep, body, None, length=cfg.substeps)
+        return body
+
+    for _ in range(steps):
+        body = step(body)
+    return body
+
+
+def test_fixed_joint_holds_bodies_rigid():
+    from madrona_tpu.physics import joints as jt
+
+    om, ids = make_om()
+    # two boxes side by side, falling freely, fixed-jointed at the gap
+    body = make_world(
+        om,
+        [
+            dict(obj=ids["box"], pos=[0.0, 0.0, 5.0]),
+            dict(obj=ids["box"], pos=[1.2, 0.0, 5.0]),
+        ],
+    )
+    joints = jt.empty_joints(2, 2)
+    ident = jnp.array([1.0, 0, 0, 0], jnp.float32)
+    joints = jt.make_fixed_joint(
+        joints, 0, e1=0, e2=1,
+        attach_q1=ident, attach_q2=ident,
+        r1=jnp.array([0.6, 0, 0.0]), r2=jnp.array([-0.6, 0, 0.0]),
+        separation=0.0,
+    )
+    cfg = PhysicsConfig(dt=1 / 60, substeps=4, gravity=(0, 0, -9.8))
+    out = run_steps_with_joints(body, joints, om, cfg, 30)
+    # attachment points coincide, relative orientation identity
+    p1 = np.asarray(out.pos[0, 0])
+    p2 = np.asarray(out.pos[0, 1])
+    q1 = np.asarray(out.rot[0, 0])
+    q2 = np.asarray(out.rot[0, 1])
+    np.testing.assert_allclose(p2 - p1, [1.2, 0, 0], atol=5e-3)
+    dot = abs(np.sum(q1 * q2))
+    assert dot > 1.0 - 1e-4  # same orientation up to sign
+    # and it actually fell
+    assert p1[2] < 4.5
+
+
+def test_hinge_joint_pendulum():
+    from madrona_tpu.physics import joints as jt
+
+    om, ids = make_om()
+    # static anchor box at origin; dynamic box hung 1.2 below via hinge
+    body = make_world(
+        om,
+        [
+            dict(obj=ids["box"], pos=[0.0, 0.0, 0.0],
+                 response=bodies.RESPONSE_STATIC),
+            # offset horizontally so gravity makes it swing about the hinge
+            dict(obj=ids["box"], pos=[1.2, 0.0, 0.0]),
+        ],
+    )
+    joints = jt.empty_joints(2, 1)
+    axis = jnp.array([0.0, 1.0, 0.0], jnp.float32)  # hinge about +y
+    joints = jt.make_hinge_joint(
+        joints, 0, e1=0, e2=1,
+        a1_local=axis, a2_local=axis,
+        r1=jnp.array([0.0, 0, 0.0]), r2=jnp.array([-1.2, 0, 0.0]),
+    )
+    cfg = PhysicsConfig(dt=1 / 60, substeps=4, gravity=(0, 0, -9.8))
+    out = run_steps_with_joints(body, joints, om, cfg, 40)
+    p = np.asarray(out.pos[0, 1])
+    q = np.asarray(out.rot[0, 1])
+    # attachment constraint: r2 in world frame must stay at the anchor
+    r2_world = np.asarray(
+        m3.quat_rotate(jnp.asarray(q), jnp.array([-1.2, 0, 0.0]))
+    ) + p
+    np.testing.assert_allclose(r2_world, [0, 0, 0], atol=2e-2)
+    # swung downward (z dropped, still at distance 1.2 from anchor)
+    assert p[2] < -0.3
+    np.testing.assert_allclose(np.linalg.norm(p), 1.2, atol=2e-2)
+    # motion stays in the xz-plane (hinge axis +y)
+    assert abs(p[1]) < 1e-3
+    # both worlds identical
+    np.testing.assert_allclose(
+        np.asarray(out.pos[1, 1]), p, atol=1e-6
+    )
