@@ -39,7 +39,9 @@ def main():
     sim = make_sim(env, num_worlds=num_worlds, seed=0)
 
     rs = np.random.RandomState(0)
-    if getattr(env, "action_is_discrete", True):
+    if hasattr(env, "random_actions"):
+        acts = env.random_actions(rs, steps, num_worlds)
+    else:
         n_act = getattr(env, "num_action_buckets", 2)
         act_shape = getattr(env, "action_shape", ())
         acts = jnp.asarray(

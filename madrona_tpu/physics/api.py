@@ -143,22 +143,50 @@ def _narrowphase_all(
     body: BodyState, om: ObjectManager, cands: bp.Candidates
 ) -> Contacts:
     """Run the typed narrowphase kernels over the candidate buffers and
-    emit the fixed-layout contact buffer (segments: [HH | HP | S])."""
-    w, n = body.pos.shape[:2]
+    emit the fixed-layout contact buffer (segments: [HH | HP | S]).
 
-    def gather(row):
-        r = jnp.clip(row, 0, n - 1)
-        return dict(
-            pos=body.pos[r], rot=body.rot[r], scale=body.scale[r],
-            obj=body.obj_id[r],
+    Per-lane body reads go through one packed [N, 10] block (pos|rot|
+    scale) so each candidate lane costs a single gather (see
+    xpbd.pack_bodies for the TPU layout rationale)."""
+    w, n = body.pos.shape[:2]
+    dims = om.hull_dims
+    n_obj = om.hull_pack.shape[0]
+
+    nb = jnp.concatenate(
+        [body.pos, body.rot, body.scale], axis=-1
+    )  # [W, N, 10]
+    obj_oh_tbl = jax.nn.one_hot(body.obj_id, n_obj)     # [W, N, O]
+
+    def pair_blocks(rows):
+        """Per-pair packed data via one-hot einsums (TPU gathers re-read
+        operands pathologically; MXU matmuls against one-hots don't)."""
+        oh = jax.nn.one_hot(jnp.clip(rows, 0, n - 1), n)   # [W, P, N]
+        blk = jnp.einsum(
+            "wpn,wnf->wpf", oh, nb, preferred_element_type=jnp.float32
         )
+        obj_oh = jnp.einsum(
+            "wpn,wno->wpo", oh, obj_oh_tbl,
+            preferred_element_type=jnp.float32,
+        )
+        hrow = jnp.einsum(
+            "wpo,ok->wpk", obj_oh, om.hull_pack,
+            preferred_element_type=jnp.float32,
+        )
+        srad = jnp.einsum(
+            "wpo,o->wp", obj_oh, om.sphere_radius,
+            preferred_element_type=jnp.float32,
+        )
+        return blk, hrow, srad
+
+    def split(blk):
+        return blk[0:3], blk[3:7], blk[7:10]
 
     # --- hull-hull kernel
-    def hh_lane(pos, rot, scale, obj, pair):
-        a_row = jnp.clip(pair[0], 0, n - 1)
-        b_row = jnp.clip(pair[1], 0, n - 1)
-        ha = np_.hull_to_world(om, obj[a_row], pos[a_row], rot[a_row], scale[a_row])
-        hb = np_.hull_to_world(om, obj[b_row], pos[b_row], rot[b_row], scale[b_row])
+    def hh_lane(blk_a, hrow_a, blk_b, hrow_b, pair):
+        pa, qa, sa = split(blk_a)
+        pb, qb, sb = split(blk_b)
+        ha = np_.hull_row_to_world(hrow_a, dims, pa, qa, sa)
+        hb = np_.hull_row_to_world(hrow_b, dims, pb, qb, sb)
         c = np_.hull_hull_contact(ha, hb)
         ref = jnp.where(c["ref_is_a"], pair[0], pair[1])
         alt = jnp.where(c["ref_is_a"], pair[1], pair[0])
@@ -169,11 +197,11 @@ def _narrowphase_all(
             jnp.where(ok, c["num"], 0), c["normal"],
         )
 
-    def hp_lane(pos, rot, scale, obj, pair):
-        h_row = jnp.clip(pair[0], 0, n - 1)
-        p_row = jnp.clip(pair[1], 0, n - 1)
-        h = np_.hull_to_world(om, obj[h_row], pos[h_row], rot[h_row], scale[h_row])
-        c = np_.hull_plane_contact(h, pos[p_row], rot[p_row])
+    def hp_lane(blk_a, hrow_a, blk_b, pair):
+        ph, qh, sh = split(blk_a)
+        pp, qp, _ = split(blk_b)
+        h = np_.hull_row_to_world(hrow_a, dims, ph, qh, sh)
+        c = np_.hull_plane_contact(h, pp, qp)
         ok = c["valid"] & (pair[0] < n)
         # plane is ref
         return (
@@ -182,19 +210,14 @@ def _narrowphase_all(
             jnp.where(ok, c["num"], 0), c["normal"],
         )
 
-    def sp_lane(pos, rot, scale, obj, pair, kind):
-        s_row = jnp.clip(pair[0], 0, n - 1)
-        o_row = jnp.clip(pair[1], 0, n - 1)
-        radius = om.sphere_radius[obj[s_row]] * scale[s_row, 0]
-        c_ss = np_.sphere_sphere_contact(
-            pos[s_row], radius, pos[o_row],
-            om.sphere_radius[obj[o_row]] * scale[o_row, 0],
-        )
-        c_sp = np_.sphere_plane_contact(
-            pos[s_row], radius, pos[o_row], rot[o_row]
-        )
-        h = np_.hull_to_world(om, obj[o_row], pos[o_row], rot[o_row], scale[o_row])
-        c_sh = np_.sphere_hull_contact(pos[s_row], radius, h)
+    def sp_lane(blk_a, rad_a, blk_b, hrow_b, rad_b, pair, kind):
+        ps, _, ss = split(blk_a)
+        po, qo, so = split(blk_b)
+        radius = rad_a * ss[0]
+        c_ss = np_.sphere_sphere_contact(ps, radius, po, rad_b * so[0])
+        c_sp = np_.sphere_plane_contact(ps, radius, po, qo)
+        h = np_.hull_row_to_world(hrow_b, dims, po, qo, so)
+        c_sh = np_.sphere_hull_contact(ps, radius, h)
         is_plane = kind == geo.TYPE_PLANE
         is_hull = kind == geo.TYPE_HULL
         pick = lambda f: jnp.where(
@@ -210,19 +233,21 @@ def _narrowphase_all(
             jnp.where(ok, pick("num"), 0), pick("normal"),
         )
 
-    def run(lane, cand, *extra):
-        per_world = jax.vmap(
-            lambda pos, rot, scale, obj, pairs, *ex: jax.vmap(
-                lambda pr, *e: lane(pos, rot, scale, obj, pr, *e)
-            )(pairs, *ex)
-        )
-        return per_world(
-            body.pos, body.rot, body.scale, body.obj_id, cand, *extra
-        )
+    vv = lambda f: jax.vmap(jax.vmap(f))
 
-    hh = run(hh_lane, cands.hh)
-    hp = run(hp_lane, cands.hp)
-    sp = run(sp_lane, cands.sp, cands.sp_kind)
+    blk_a, hrow_a, rad_a = pair_blocks(cands.hh[..., 0])
+    blk_b, hrow_b, _ = pair_blocks(cands.hh[..., 1])
+    hh = vv(hh_lane)(blk_a, hrow_a, blk_b, hrow_b, cands.hh)
+
+    blk_a, hrow_a, _ = pair_blocks(cands.hp[..., 0])
+    blk_b, _, _ = pair_blocks(cands.hp[..., 1])
+    hp = vv(hp_lane)(blk_a, hrow_a, blk_b, cands.hp)
+
+    blk_a, _, rad_a = pair_blocks(cands.sp[..., 0])
+    blk_b, hrow_b, rad_b = pair_blocks(cands.sp[..., 1])
+    sp = vv(sp_lane)(
+        blk_a, rad_a, blk_b, hrow_b, rad_b, cands.sp, cands.sp_kind
+    )
 
     cat = lambda i: jnp.concatenate([hh[i], hp[i], sp[i]], axis=1)
     return Contacts(
@@ -250,17 +275,31 @@ def make_physics_node(
         has_joints = JOINT_BUFFER in sm_.singletons
         jbuf = joints_view(state) if has_joints else None
 
+        jacobi = cfg.solver == "jacobi"
+
         def substep(body, _):
             body = xpbd.integrate(body, om, h, gravity)
             contacts = _narrowphase_all(body, om, cands)
-            body, contacts = xpbd.solve_positions(body, contacts, om)
-            if has_joints:
-                body = _joints.solve_joints(body, jbuf, om)
-            body = xpbd.set_velocities(body, h)
-            body = xpbd.solve_velocities(
-                body, contacts, om, h,
-                cfg.restitution, cfg.restitution_threshold,
-            )
+            if jacobi:
+                body, contacts = xpbd.solve_positions_jacobi(
+                    body, contacts, om, cfg.jacobi_iters
+                )
+                if has_joints:
+                    body = _joints.solve_joints_jacobi(body, jbuf, om)
+                body = xpbd.set_velocities(body, h)
+                body = xpbd.solve_velocities_jacobi(
+                    body, contacts, om, h,
+                    cfg.restitution, cfg.restitution_threshold,
+                )
+            else:
+                body, contacts = xpbd.solve_positions(body, contacts, om)
+                if has_joints:
+                    body = _joints.solve_joints(body, jbuf, om)
+                body = xpbd.set_velocities(body, h)
+                body = xpbd.solve_velocities(
+                    body, contacts, om, h,
+                    cfg.restitution, cfg.restitution_threshold,
+                )
             return body, None
 
         body, _ = jax.lax.scan(

@@ -39,6 +39,20 @@ class ObjectManager:
     hull_edges: jnp.ndarray       # [O, MAX_EDGES, 2]
     hull_edge_faces: jnp.ndarray  # [O, MAX_EDGES, 2]
     hull_edges_mask: jnp.ndarray  # [O, MAX_EDGES]
+    # gather-free derived tables (local frame), precomputed at build():
+    # TPU dynamic gathers are slow, so the narrowphase reads positions
+    # directly instead of chasing vert/face indices per lane.
+    hull_edge_p1: jnp.ndarray     # [O, E, 3] edge start positions
+    hull_edge_p2: jnp.ndarray     # [O, E, 3] edge end positions
+    hull_edge_n1: jnp.ndarray     # [O, E, 3] adjacent face normal 1
+    hull_edge_n2: jnp.ndarray     # [O, E, 3] adjacent face normal 2
+    hull_face_polys: jnp.ndarray      # [O, F, FV, 3] face polygon verts
+    hull_face_poly_mask: jnp.ndarray  # [O, F, FV] bool
+    # every hull constant flattened into one [O, K] float row, so the
+    # narrowphase fetches a lane's whole hull with ONE gather (many
+    # small [.., 3]-trailing gathers each pad 3 -> 128 lanes on TPU)
+    hull_pack: jnp.ndarray            # [O, K] f32
+    hull_dims: tuple                  # static (V, F, FV, E)
     # metadata (RigidBodyMetadata)
     inv_mass: jnp.ndarray         # [O] f32
     inv_inertia: jnp.ndarray      # [O, 3] f32 (diagonal, principal frame)
@@ -50,6 +64,34 @@ class ObjectManager:
     @property
     def num_objects(self) -> int:
         return self.prim_type.shape[0]
+
+
+def _edge_pts(h: geo.HullData, end: int) -> np.ndarray:
+    return h.verts[h.edges[:, end]].astype(np.float32)
+
+
+def _edge_normals(h: geo.HullData, side: int) -> np.ndarray:
+    return h.planes[h.edge_faces[:, side], :3].astype(np.float32)
+
+
+def _face_polys(h: geo.HullData) -> np.ndarray:
+    idx = np.clip(h.face_verts, 0, None)
+    return h.verts[idx].astype(np.float32)  # [F, FV, 3]
+
+
+def _pack_hull(h: geo.HullData) -> np.ndarray:
+    """Flatten one hull's tables into the [K] float row read by
+    narrowphase.hull_to_world (same slot order as its unpacker)."""
+    parts = [
+        h.verts.reshape(-1), h.verts_mask.astype(np.float32),
+        h.planes[:, :3].reshape(-1), h.faces_mask.astype(np.float32),
+        _edge_pts(h, 0).reshape(-1), _edge_pts(h, 1).reshape(-1),
+        _edge_normals(h, 0).reshape(-1), _edge_normals(h, 1).reshape(-1),
+        h.edges_mask.astype(np.float32),
+        _face_polys(h).reshape(-1),
+        (h.face_verts >= 0).astype(np.float32).reshape(-1),
+    ]
+    return np.concatenate(parts).astype(np.float32)
 
 
 class ObjectRegistry:
@@ -157,6 +199,32 @@ class ObjectRegistry:
             return np.stack([get(r) for r in self._rows])
 
         hull_of = lambda r: r["hull"] if r["hull"] is not None else z_hull
+
+        # Trim hull tables to the tightest live counts across all
+        # registered objects (padded MAX_* capacities are a per-app
+        # worst case; box-only apps get 8/6/12 instead of 16/12/24 —
+        # the SAT narrowphase cost is quadratic in the edge count).
+        hulls = [hull_of(r) for r in self._rows]
+        nv = max(int(h.verts_mask.sum()) for h in hulls)
+        nf = max(int(h.faces_mask.sum()) for h in hulls)
+        ne = max(int(h.edges_mask.sum()) for h in hulls)
+        nfv = max(
+            int((h.face_verts >= 0).sum(axis=1).max()) for h in hulls
+        )
+        trimmed = {
+            id(h): dataclasses.replace(
+                h,
+                verts=h.verts[:nv], verts_mask=h.verts_mask[:nv],
+                planes=h.planes[:nf], faces_mask=h.faces_mask[:nf],
+                face_verts=h.face_verts[:nf, :nfv],
+                edges=h.edges[:ne], edge_faces=h.edge_faces[:ne],
+                edges_mask=h.edges_mask[:ne],
+            )
+            for h in hulls
+        }
+        hull_of = lambda r: trimmed[
+            id(r["hull"] if r["hull"] is not None else z_hull)
+        ]
         om = ObjectManager(
             prim_type=jnp.asarray(stack(lambda r: np.int32(r["prim_type"]))),
             sphere_radius=jnp.asarray(
@@ -180,6 +248,26 @@ class ObjectRegistry:
             hull_edges_mask=jnp.asarray(
                 stack(lambda r: hull_of(r).edges_mask)
             ),
+            hull_edge_p1=jnp.asarray(
+                stack(lambda r: _edge_pts(hull_of(r), 0))
+            ),
+            hull_edge_p2=jnp.asarray(
+                stack(lambda r: _edge_pts(hull_of(r), 1))
+            ),
+            hull_edge_n1=jnp.asarray(
+                stack(lambda r: _edge_normals(hull_of(r), 0))
+            ),
+            hull_edge_n2=jnp.asarray(
+                stack(lambda r: _edge_normals(hull_of(r), 1))
+            ),
+            hull_face_polys=jnp.asarray(
+                stack(lambda r: _face_polys(hull_of(r)))
+            ),
+            hull_face_poly_mask=jnp.asarray(
+                stack(lambda r: hull_of(r).face_verts >= 0)
+            ),
+            hull_pack=jnp.asarray(stack(lambda r: _pack_hull(hull_of(r)))),
+            hull_dims=(nv, nf, nfv, ne),
             inv_mass=jnp.asarray(stack(lambda r: np.float32(r["inv_mass"]))),
             inv_inertia=jnp.asarray(
                 stack(lambda r: np.asarray(r["inv_inertia"], np.float32))

@@ -273,3 +273,78 @@ def solve_joints(body: BodyState, joints: Joints, om) -> BodyState:
         return body
 
     return jax.lax.fori_loop(0, jcap, step, body)
+
+
+def solve_joints_jacobi(body: BodyState, joints: Joints, om) -> BodyState:
+    """Vectorized joint solve: all slots at once against a body snapshot,
+    averaged scatter (same per-joint math as solve_joints; Jacobi
+    application order — see xpbd.py solver-mode note)."""
+    from .xpbd import pack_bodies, _gather_packed, _scatter_avg_packed
+
+    n = body.pos.shape[1]
+    e1, e2 = joints.e1, joints.e2                       # [W, J]
+    ok = joints.active & (e1 >= 0) & (e1 < n) & (e2 >= 0) & (e2 < n)
+    jtp = joints.jtype
+    r1, r2 = joints.r1, joints.r2
+
+    packed = pack_bodies(body, om)
+    b1 = _gather_packed(packed, e1)
+    b2 = _gather_packed(packed, e2)
+    x1, x2, q1, q2 = b1["x"], b2["x"], b1["q"], b2["q"]
+    inv_m1, inv_m2 = b1["inv_m"], b2["inv_m"]
+    inv_i1, inv_i2 = b1["inv_i"], b2["inv_i"]
+
+    fq1, fq2 = _joint_orientation_constraint(
+        q1, q2, joints.attach_q1, joints.attach_q2, inv_i1, inv_i2
+    )
+    r1w_f = m3.quat_rotate(fq1, r1) + x1
+    r2w_f = m3.quat_rotate(fq2, r2) + x2
+    delta_r = r2w_f - r1w_f
+    axes_rot = m3.quat_normalize(m3.quat_mul(fq1, joints.attach_q1))
+    a1 = m3.quat_rotate(axes_rot, FWD)
+    b1_axis = m3.quat_rotate(axes_rot, RIGHT)
+    c1 = jnp.cross(a1, b1_axis)
+    a_sep = jnp.sum(delta_r * a1, axis=-1)
+    b_sep = jnp.sum(delta_r * b1_axis, axis=-1)
+    c_sep = jnp.sum(delta_r * c1, axis=-1)
+    fixed_corr = (
+        -(a_sep - joints.separation)[..., None] * a1
+        - b_sep[..., None] * b1_axis
+        - c_sep[..., None] * c1
+    )
+
+    hq1, hq2 = _joint_axis_constraint(
+        q1, q2, joints.a1_local, joints.a2_local, inv_i1, inv_i2
+    )
+    r1w_h = m3.quat_rotate(hq1, r1) + x1
+    r2w_h = m3.quat_rotate(hq2, r2) + x2
+    hinge_corr = r1w_h - r2w_h          # converging sign (see solve_joints)
+
+    is_fixed = jtp == JOINT_FIXED
+    nq1 = jnp.where(is_fixed[..., None], fq1, hq1)
+    nq2 = jnp.where(is_fixed[..., None], fq2, hq2)
+    corr = jnp.where(is_fixed[..., None], fixed_corr, hinge_corr)
+
+    mag = jnp.linalg.norm(corr, axis=-1)
+    has_c = mag > 0.0
+    n_dir = corr / jnp.where(has_c, mag, 1.0)[..., None]
+    ux1, ux2, uq1, uq2, _ = _apply_positional_update(
+        x1, x2, nq1, nq2, r1, r2, inv_m1, inv_m2, inv_i1, inv_i2,
+        n_dir, mag, 0.0,
+    )
+    sel = has_c[..., None]
+    ux1 = jnp.where(sel, ux1, x1)
+    ux2 = jnp.where(sel, ux2, x2)
+    uq1 = jnp.where(sel, uq1, nq1)
+    uq2 = jnp.where(sel, uq2, nq2)
+
+    rows2 = jnp.concatenate([e1, e2], axis=1)
+    ok2 = jnp.concatenate([ok, ok], axis=1)
+    d1 = jnp.concatenate([ux1 - x1, uq1 - q1], axis=-1)
+    d2 = jnp.concatenate([ux2 - x2, uq2 - q2], axis=-1)
+    mean = _scatter_avg_packed(
+        rows2, jnp.concatenate([d1, d2], axis=1), ok2, n
+    )
+    pos = body.pos + mean[..., :3]
+    rot = m3.quat_normalize(body.rot + mean[..., 3:7])
+    return dataclasses.replace(body, pos=pos, rot=rot)

@@ -8,15 +8,27 @@ lane computes fixed-shape masked reductions over padded hull tables and
 the pair type selects between results — the vmapped equivalent of the
 megakernel's 32-threads-per-pair cooperative scheme.
 
+TPU execution-shape rules this module follows (dynamic gathers and
+scatters are the slowest ops on the VPU):
+  * No per-lane index chasing. ObjectManager precomputes position-valued
+    tables (edge endpoints, edge face normals, face polygons) so every
+    hull query is an elementwise transform + masked reduction.
+  * No iterative Sutherland-Hodgman clipping. The clipped polygon's
+    vertex set is computed directly: incident-face vertices inside the
+    ref side planes, plus incident-edge x side-plane intersections that
+    lie inside the region — a fixed [FV + FV*FV] candidate set.
+  * Scalar per-lane selections (argmax winners) become one-hot
+    reductions, not gathers.
+
 Algorithm parity with the reference:
   * face query: max over A's faces of (min over B's verts of signed dist)
     (queryFaceDirections, narrowphase.cpp:339-365)
   * edge query: Gauss-map Minkowski-face prune then edge-pair distance
     (isMinkowskiFace/edgeDistance/queryEdgeDirections, :367-567)
-  * face manifold: clip incident face (most anti-normal face of the other
-    hull) against ref-face side planes, keep points below ref plane,
-    project onto it (createFaceContact, :881-989); reduce to <=4 points by
-    the Gregorius area heuristic (buildFaceContactManifold, :771-879)
+  * face manifold: clipped incident polygon against ref-face side planes,
+    points kept below ref plane, projected onto it (createFaceContact,
+    :881-989); reduced to <=4 points by the Gregorius heuristics
+    (buildFaceContactManifold, :771-879) via masked argmax picks.
   * edge manifold: closest point on A's edge, depth=-separation
     (createEdgeContact, :1070-1108)
   * hull-plane / sphere-plane: plane is always the reference
@@ -28,16 +40,13 @@ XPBD positional solve separates the pair. The reference follows this for
 plane/face/edge contacts but emits sphere-sphere/sphere-hull contacts
 with the point on the *other* body and a flipped normal
 (narrowphase.cpp:1310-1330 vs 1534); we emit the consistent orientation
-for all pair types.
-
-Output: fixed-capacity per-world contact buffer — the TPU equivalent of
-``makeTemporary`` contact rows (addManifoldContacts, :1140-1167).
+for all pair types. Manifold point *order* may differ from the
+reference's clip order (the reducer picks are order-insensitive).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +54,6 @@ import jax.numpy as jnp
 from ..utils import math3d as m3
 from . import geo
 
-# Manifold/clipping buffer sizes: clipping an 8-gon against 8 side planes
-# can at most double the vertex count per pass is bounded overall by
-# nA + nB; 16 covers MAX_FACE_VERTS * 2.
-CLIP_BUF = 16
 NEG_BIG = -3.0e38
 BIG = 3.0e38
 
@@ -56,37 +61,75 @@ BIG = 3.0e38
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class HullW:
-    """One hull transformed to world space (padded arrays)."""
+    """One hull transformed to world space (gather-free padded arrays)."""
 
-    verts: jnp.ndarray       # [V, 3]
-    verts_mask: jnp.ndarray  # [V]
-    planes_n: jnp.ndarray    # [F, 3]
-    planes_d: jnp.ndarray    # [F]
-    faces_mask: jnp.ndarray  # [F]
-    face_verts: jnp.ndarray  # [F, FV]
-    edges: jnp.ndarray       # [E, 2]
-    edge_faces: jnp.ndarray  # [E, 2]
-    edges_mask: jnp.ndarray  # [E]
-    center: jnp.ndarray      # [3]
+    verts: jnp.ndarray           # [V, 3]
+    verts_mask: jnp.ndarray      # [V]
+    planes_n: jnp.ndarray        # [F, 3]
+    planes_d: jnp.ndarray        # [F]
+    faces_mask: jnp.ndarray      # [F]
+    edge_p1: jnp.ndarray         # [E, 3] world edge endpoints
+    edge_p2: jnp.ndarray         # [E, 3]
+    edge_n1: jnp.ndarray         # [E, 3] world adjacent-face normals
+    edge_n2: jnp.ndarray         # [E, 3]
+    edges_mask: jnp.ndarray      # [E]
+    face_polys: jnp.ndarray      # [F, FV, 3] world face polygons
+    face_poly_mask: jnp.ndarray  # [F, FV]
+    center: jnp.ndarray          # [3]
 
 
 def hull_to_world(om, obj_idx, pos, rot, scale) -> HullW:
     """Transform object obj_idx's hull into world frame.
 
-    Equivalent of makeHullState (narrowphase.cpp:151-223): verts scaled,
-    rotated, translated; plane normals re-derived to stay valid under
+    Equivalent of makeHullState (narrowphase.cpp:151-223): positions are
+    scaled/rotated/translated; normals re-derived to stay valid under
     non-uniform scale (n' ~ R @ (n / scale)).
-    """
-    verts_l = om.hull_verts[obj_idx] * scale[None, :]
-    verts = m3.quat_rotate(rot[None, :], verts_l) + pos[None, :]
-    n_l = om.hull_planes[obj_idx, :, :3] / jnp.maximum(scale[None, :], 1e-12)
-    n_w = m3.quat_rotate(rot[None, :], n_l)
-    n_w = m3.normalize(n_w)
-    # plane d from a representative on-face vertex
-    rep_v = jnp.clip(om.hull_face_verts[obj_idx, :, 0], 0, None)
-    rep_pt = verts[rep_v]
-    d_w = jnp.sum(n_w * rep_pt, axis=-1)
-    vm = om.hull_verts_mask[obj_idx]
+
+    All hull constants arrive via ONE fetch of the packed [K] row
+    (om.hull_pack) — unpacking is slicing, which fuses; per-table gathers
+    would each materialize a [.., 3]-trailing buffer (42x lane padding
+    under TPU tiling)."""
+    row = om.hull_pack[obj_idx]               # [K]
+    return hull_row_to_world(row, om.hull_dims, pos, rot, scale)
+
+
+def hull_row_to_world(row, dims, pos, rot, scale) -> HullW:
+    """hull_to_world from a pre-fetched packed row (callers batch the
+    row fetch as a one-hot einsum — see api._narrowphase_all)."""
+    v, f, fv, e = dims
+
+    def cut(k, shape=None):
+        nonlocal off
+        out = row[off:off + k]
+        off += k
+        return out if shape is None else out.reshape(shape)
+
+    off = 0
+    verts_l = cut(v * 3, (v, 3))
+    vm = cut(v) > 0.5
+    planes_nl = cut(f * 3, (f, 3))
+    faces_mask = cut(f) > 0.5
+    edge_p1l = cut(e * 3, (e, 3))
+    edge_p2l = cut(e * 3, (e, 3))
+    edge_n1l = cut(e * 3, (e, 3))
+    edge_n2l = cut(e * 3, (e, 3))
+    edges_mask = cut(e) > 0.5
+    face_polys_l = cut(f * fv * 3, (f, fv, 3))
+    face_poly_mask = cut(f * fv, (f, fv)) > 0.5
+
+    def xform_pt(p):
+        return m3.quat_rotate(rot, p * scale) + pos
+
+    def xform_n(n):
+        return m3.normalize(
+            m3.quat_rotate(rot, n / jnp.maximum(scale, 1e-12))
+        )
+
+    verts = xform_pt(verts_l)
+    n_w = xform_n(planes_nl)
+    face_polys = xform_pt(face_polys_l)
+    # plane d from the face's first polygon vertex (always live)
+    d_w = jnp.sum(n_w * face_polys[:, 0, :], axis=-1)
     denom = jnp.maximum(jnp.sum(vm), 1)
     center = jnp.sum(jnp.where(vm[:, None], verts, 0.0), axis=0) / denom
     return HullW(
@@ -94,22 +137,37 @@ def hull_to_world(om, obj_idx, pos, rot, scale) -> HullW:
         verts_mask=vm,
         planes_n=n_w,
         planes_d=d_w,
-        faces_mask=om.hull_faces_mask[obj_idx],
-        face_verts=om.hull_face_verts[obj_idx],
-        edges=om.hull_edges[obj_idx],
-        edge_faces=om.hull_edge_faces[obj_idx],
-        edges_mask=om.hull_edges_mask[obj_idx],
+        faces_mask=faces_mask,
+        edge_p1=xform_pt(edge_p1l),
+        edge_p2=xform_pt(edge_p2l),
+        edge_n1=xform_n(edge_n1l),
+        edge_n2=xform_n(edge_n2l),
+        edges_mask=edges_mask,
+        face_polys=face_polys,
+        face_poly_mask=face_poly_mask,
         center=center,
     )
 
 
-def _support_dist(plane_n, plane_d, verts, verts_mask):
-    """min over verts of signed distance below plane (per plane).
+def _onehot_pick(values, idx):
+    """values [K, ...] selected at scalar idx without a gather."""
+    k = values.shape[0]
+    oh = (jnp.arange(k) == idx).astype(values.dtype)
+    return jnp.sum(
+        oh.reshape((k,) + (1,) * (values.ndim - 1)) * values, axis=0
+    )
 
-    plane_n [F,3], plane_d [F]; verts [V,3]. Returns [F] min distances —
-    the inner loop of queryFaceDirections.
-    """
-    d = verts @ plane_n.T - plane_d[None, :]  # [V, F]
+
+def _support_dist(plane_n, plane_d, verts, verts_mask):
+    """min over verts of signed distance below each plane.
+
+    plane_n [F,3], plane_d [F]; verts [V,3]. Returns [F] — the inner
+    loop of queryFaceDirections, as a broadcast reduction (no matmul:
+    a [V,3]x[3,F] dot would hit the MXU with 97% padding)."""
+    d = (
+        jnp.sum(verts[:, None, :] * plane_n[None, :, :], axis=-1)
+        - plane_d[None, :]
+    )  # [V, F]
     d = jnp.where(verts_mask[:, None], d, BIG)
     return jnp.min(d, axis=0)
 
@@ -119,7 +177,7 @@ def query_face_directions(a: HullW, b: HullW):
     seps = _support_dist(a.planes_n, a.planes_d, b.verts, b.verts_mask)
     seps = jnp.where(a.faces_mask, seps, NEG_BIG)
     idx = jnp.argmax(seps)
-    return seps[idx], idx
+    return jnp.max(seps), idx
 
 
 def _is_minkowski_face(na1, na2, nb1, nb2):
@@ -135,183 +193,191 @@ def _is_minkowski_face(na1, na2, nb1, nb2):
 
 
 def query_edge_directions(a: HullW, b: HullW):
-    """(max separation, edge idx A, edge idx B, normal) over Gauss-map-
-    valid edge pairs (queryEdgeDirections, narrowphase.cpp:464-567)."""
-    ea_p1 = a.verts[a.edges[:, 0]]            # [Ea, 3]
-    ea_p2 = a.verts[a.edges[:, 1]]
-    eb_p1 = b.verts[b.edges[:, 0]]            # [Eb, 3]
-    eb_p2 = b.verts[b.edges[:, 1]]
-    na1 = a.planes_n[a.edge_faces[:, 0]]      # [Ea, 3]
-    na2 = a.planes_n[a.edge_faces[:, 1]]
-    nb1 = b.planes_n[b.edge_faces[:, 0]]
-    nb2 = b.planes_n[b.edge_faces[:, 1]]
+    """(max separation, edge normal, A edge endpoints, B edge endpoints)
+    over Gauss-map-valid edge pairs (queryEdgeDirections,
+    narrowphase.cpp:464-567).
 
-    # pairwise [Ea, Eb]
+    The Ea x Eb combination space is flattened to one trailing axis (a
+    2-D [..., Ea, Eb] trailing shape tiles as (8, 128) per slice on TPU —
+    5x memory padding at Ea=Eb=12); combinations are built by structured
+    repeat/tile, never gathers. Winner extraction is one-hot."""
+    ea, eb = a.edge_p1.shape[0], b.edge_p1.shape[0]
+
+    def rep_a(x):
+        return jnp.repeat(x, eb, axis=0)
+
+    def rep_b(x):
+        return jnp.tile(x, (ea,) + (1,) * (x.ndim - 1))
+
+    ea_p1, ea_p2 = rep_a(a.edge_p1), rep_a(a.edge_p2)
+    eb_p1, eb_p2 = rep_b(b.edge_p1), rep_b(b.edge_p2)
+
     mink = _is_minkowski_face(
-        na1[:, None, :], na2[:, None, :], -nb1[None, :, :], -nb2[None, :, :]
+        rep_a(a.edge_n1), rep_a(a.edge_n2),
+        -rep_b(b.edge_n1), -rep_b(b.edge_n2),
     )
-    dir_a = (ea_p2 - ea_p1)[:, None, :]
-    dir_b = (eb_p2 - eb_p1)[None, :, :]
-    cr = jnp.cross(dir_a, dir_b)
+    cr = jnp.cross(ea_p2 - ea_p1, eb_p2 - eb_p1)
     len2 = jnp.sum(cr * cr, axis=-1)
-    ok = mink & (len2 > 1e-12) & a.edges_mask[:, None] & b.edges_mask[None, :]
+    ok = (
+        mink & (len2 > 1e-12)
+        & rep_a(a.edges_mask) & rep_b(b.edges_mask)
+    )
     inv_len = jax.lax.rsqrt(jnp.maximum(len2, 1e-30))
     n = cr * inv_len[..., None]
     # orient away from A's center
-    to_edge = ea_p1[:, None, :] - a.center[None, None, :]
+    to_edge = ea_p1 - a.center[None, :]
     flip = jnp.sum(n * to_edge, axis=-1) < 0.0
     n = jnp.where(flip[..., None], -n, n)
-    sep = jnp.sum(n * (eb_p1[None, :, :] - ea_p1[:, None, :]), axis=-1)
+    sep = jnp.sum(n * (eb_p1 - ea_p1), axis=-1)
     sep = jnp.where(ok, sep, NEG_BIG)
-    flat = jnp.argmax(sep)
-    ia, ib = flat // sep.shape[1], flat % sep.shape[1]
-    return sep[ia, ib], ia, ib, n[ia, ib]
+    win = jnp.argmax(sep)
+    return (
+        jnp.max(sep),
+        _onehot_pick(n, win),
+        _onehot_pick(ea_p1, win), _onehot_pick(ea_p2, win),
+        _onehot_pick(eb_p1, win), _onehot_pick(eb_p2, win),
+    )
 
 
-def _find_incident_face(h: HullW, ref_normal):
-    """Most anti-parallel face (findIncidentFace, narrowphase.cpp:569)."""
-    dots = h.planes_n @ ref_normal
+def _incident_face_poly(h: HullW, ref_normal):
+    """Polygon of the most anti-parallel face (findIncidentFace,
+    narrowphase.cpp:569), selected one-hot."""
+    dots = jnp.sum(h.planes_n * ref_normal[None, :], axis=-1)
     dots = jnp.where(h.faces_mask, dots, BIG)
-    return jnp.argmin(dots)
+    idx = jnp.argmin(dots)
+    poly = _onehot_pick(h.face_polys, idx)          # [FV, 3]
+    oh = (jnp.arange(h.face_polys.shape[0]) == idx)
+    mask = jnp.sum(
+        jnp.where(oh[:, None], h.face_poly_mask, False), axis=0
+    ).astype(bool)
+    return poly, mask
 
 
-def _face_polygon(h: HullW, face_idx):
-    """([FV, 3] verts, [FV] mask) of one face, in stored CCW order."""
-    idx = h.face_verts[face_idx]
-    mask = idx >= 0
-    pts = h.verts[jnp.clip(idx, 0, None)]
-    return pts, mask
-
-
-def _clip_polygon_fixed(poly, poly_mask, plane_n, plane_d):
-    """One Sutherland-Hodgman pass with fixed [CLIP_BUF] buffers.
-
-    Matches clipPolygon (narrowphase.cpp:617-654): keeps the region with
-    signed distance <= 0. Returns (new_poly, new_mask).
-    """
-    count = jnp.sum(poly_mask.astype(jnp.int32))
-    k = poly.shape[0]
-    idx = jnp.arange(k)
-    prev_idx = jnp.where(idx == 0, jnp.maximum(count - 1, 0), idx - 1)
-    v2 = poly
-    v1 = poly[prev_idx]
-    d2 = v2 @ plane_n - plane_d
-    d1 = v1 @ plane_n - plane_d
-
-    t = d1 / jnp.where(jnp.abs(d1 - d2) > 1e-12, d1 - d2, 1.0)
-    inter = v1 + t[:, None] * (v2 - v1)
-
-    live = poly_mask
-    keep_v2 = live & (d2 <= 0.0)
-    emit_inter = live & ((d1 <= 0.0) != (d2 <= 0.0))
-    # per input vertex, up to 2 outputs: [intersection?, v2?]
-    out_pts = jnp.stack([inter, v2], axis=1).reshape(2 * k, 3)
-    out_ok = jnp.stack([emit_inter, keep_v2], axis=1).reshape(2 * k)
-    # compact to CLIP_BUF
-    pos = jnp.cumsum(out_ok.astype(jnp.int32)) - out_ok.astype(jnp.int32)
-    dest = jnp.where(out_ok, pos, CLIP_BUF)
-    new_poly = jnp.zeros((CLIP_BUF + 1, 3), poly.dtype)
-    new_poly = new_poly.at[dest].set(out_pts, mode="drop")[:CLIP_BUF]
-    new_count = jnp.sum(out_ok.astype(jnp.int32))
-    new_mask = jnp.arange(CLIP_BUF) < new_count
-    return new_poly, new_mask
+def _poly_next(poly, mask):
+    """next-vertex array of a contiguously-packed masked polygon:
+    next[i] = poly[i+1] for i < count-1, next[count-1] = poly[0]."""
+    count = jnp.sum(mask.astype(jnp.int32))
+    rolled = jnp.roll(poly, -1, axis=0)
+    is_last = jnp.arange(poly.shape[0]) == (count - 1)
+    return jnp.where(is_last[:, None], poly[0], rolled)
 
 
 def _reduce_manifold(points, depths, mask, normal):
-    """Select <=4 contact points (buildFaceContactManifold heuristic):
-    first valid point; farthest from it; max |triangle area|; most
-    negative-area-extending fourth. Fixed-shape version of
-    narrowphase.cpp:771-879."""
+    """Select <=4 contact points (buildFaceContactManifold heuristics,
+    narrowphase.cpp:771-879): first valid; farthest from it; max
+    |triangle area|; most negative-area-extending fourth. Every pick is
+    a masked argmax + one-hot read; already-picked points are masked
+    out, so for <=4 live inputs the picks enumerate them exactly."""
+    k = points.shape[0]
+    idx = jnp.arange(k)
     n_pts = jnp.sum(mask.astype(jnp.int32))
 
-    def few_case():
-        # keep first 4 valid (compact)
-        posi = jnp.cumsum(mask.astype(jnp.int32)) - mask.astype(jnp.int32)
-        dest = jnp.where(mask, posi, CLIP_BUF)
-        pts4 = jnp.zeros((CLIP_BUF + 1, 3), points.dtype)
-        pts4 = pts4.at[dest].set(points, mode="drop")[:4]
-        dep4 = jnp.zeros((CLIP_BUF + 1,), depths.dtype)
-        dep4 = dep4.at[dest].set(depths, mode="drop")[:4]
-        return pts4, dep4, jnp.minimum(n_pts, 4)
+    avail = mask
+    i0 = jnp.argmax(avail)
+    p0 = _onehot_pick(points, i0)
+    d0 = _onehot_pick(depths, i0)
+    avail = avail & (idx != i0)
 
-    def reduce_case():
-        first = jnp.argmax(mask)
-        p0 = points[first]
-        d0 = depths[first]
-        dist2 = jnp.sum((points - p0) ** 2, axis=-1)
-        dist2 = jnp.where(mask, dist2, NEG_BIG)
-        i1 = jnp.argmax(dist2)
-        p1, d1 = points[i1], depths[i1]
-        ba = p1 - p0
-        bc = points - p1
-        signed = jnp.sum(normal * jnp.cross(ba[None, :], bc), axis=-1)
-        area = jnp.abs(signed)
-        area = jnp.where(mask, area, NEG_BIG)
-        i2 = jnp.argmax(area)
-        p2, d2 = points[i2], depths[i2]
-        # ensure CCW
-        flip = signed[i2] < 0
-        q0 = jnp.where(flip, p1, p0)
-        q1 = jnp.where(flip, p0, p1)
-        e0, e1 = jnp.where(flip, d1, d0), jnp.where(flip, d0, d1)
-        ba2 = q1 - q0
-        cb = p2 - q1
-        ac = q0 - p2
-        aq = q0[None, :] - points
-        qc = points - p2[None, :]
-        abq = jnp.sum(normal * jnp.cross(ba2[None, :], aq), axis=-1)
-        bcq = jnp.sum(normal * jnp.cross(cb[None, :], qc), axis=-1)
-        caq = jnp.sum(normal * jnp.cross(aq, ac[None, :]), axis=-1)
-        qarea = jnp.minimum(abq, jnp.minimum(bcq, caq))
-        qarea = jnp.where(mask, qarea, BIG)
-        i3 = jnp.argmin(qarea)
-        p3, d3 = points[i3], depths[i3]
-        pts4 = jnp.stack([q0, q1, p2, p3])
-        dep4 = jnp.stack([e0, e1, d2, d3])
-        return pts4, dep4, jnp.int32(4)
+    dist2 = jnp.where(avail, jnp.sum((points - p0) ** 2, axis=-1), NEG_BIG)
+    i1 = jnp.argmax(dist2)
+    p1 = _onehot_pick(points, i1)
+    d1 = _onehot_pick(depths, i1)
+    avail = avail & (idx != i1)
 
-    return jax.lax.cond(n_pts <= 4, few_case, reduce_case)
+    ba = p1 - p0
+    signed = jnp.sum(normal * jnp.cross(ba[None, :], points - p1), axis=-1)
+    area = jnp.where(avail, jnp.abs(signed), NEG_BIG)
+    i2 = jnp.argmax(area)
+    p2 = _onehot_pick(points, i2)
+    d2 = _onehot_pick(depths, i2)
+    s2 = _onehot_pick(signed, i2)
+    avail = avail & (idx != i2)
+
+    # ensure CCW winding for the fourth-point test
+    flip = s2 < 0
+    q0 = jnp.where(flip, p1, p0)
+    q1 = jnp.where(flip, p0, p1)
+    e0 = jnp.where(flip, d1, d0)
+    e1 = jnp.where(flip, d0, d1)
+    ba2 = q1 - q0
+    cb = p2 - q1
+    ac = q0 - p2
+    aq = q0[None, :] - points
+    qc = points - p2[None, :]
+    abq = jnp.sum(normal * jnp.cross(ba2[None, :], aq), axis=-1)
+    bcq = jnp.sum(normal * jnp.cross(cb[None, :], qc), axis=-1)
+    caq = jnp.sum(normal * jnp.cross(aq, ac[None, :]), axis=-1)
+    qarea = jnp.minimum(abq, jnp.minimum(bcq, caq))
+    qarea = jnp.where(avail, qarea, BIG)
+    i3 = jnp.argmin(qarea)
+    p3 = _onehot_pick(points, i3)
+    d3 = _onehot_pick(depths, i3)
+
+    pts4 = jnp.stack([q0, q1, p2, p3])
+    dep4 = jnp.stack([e0, e1, d2, d3])
+    num = jnp.minimum(n_pts, 4)
+    return pts4, dep4, num
 
 
-def face_contact_manifold(ref: HullW, ref_face, ref_n, ref_d, other: HullW):
-    """Clip other's incident face against ref face side planes; project
-    survivors onto the ref plane. Returns (points4 [4,3], depths4 [4],
-    num_points, normal)."""
-    inc_face = _find_incident_face(other, ref_n)
-    poly, poly_mask = _face_polygon(other, inc_face)
-    # pad to CLIP_BUF
-    poly = jnp.concatenate(
-        [poly, jnp.zeros((CLIP_BUF - poly.shape[0], 3), poly.dtype)]
+def _clipped_poly_candidates(inc_poly, inc_mask, ref_poly, ref_mask, ref_n):
+    """Vertex set of the incident polygon clipped by the ref face's side
+    planes, computed directly (no iterative clip): incident verts inside
+    all side planes + incident-edge x side-plane intersections inside the
+    region. Returns (points [FV + FV*FV, 3], valid mask)."""
+    fv_i = inc_poly.shape[0]
+    fv_r = ref_poly.shape[0]
+
+    # side planes of the ref face (normal points out of the polygon)
+    ref_nxt = _poly_next(ref_poly, ref_mask)
+    side_n = jnp.cross(ref_nxt - ref_poly, ref_n[None, :])   # [FVr, 3]
+    side_d = jnp.sum(side_n * ref_poly, axis=-1)
+    side_live = ref_mask
+
+    def inside_all(pts):
+        """pts [..., 3] -> inside every live side plane."""
+        sd = (
+            jnp.sum(pts[..., None, :] * side_n, axis=-1) - side_d
+        )  # [..., FVr]
+        return jnp.all(jnp.where(side_live, sd <= 1e-6, True), axis=-1)
+
+    # (1) incident verts inside the region
+    v_ok = inc_mask & inside_all(inc_poly)
+
+    # (2) incident edge x side plane intersections
+    inc_nxt = _poly_next(inc_poly, inc_mask)
+    inc_count = jnp.sum(inc_mask.astype(jnp.int32))
+    edge_live = inc_mask & (inc_count >= 2)
+    # flattened [FVi * FVr]
+    p1 = jnp.repeat(inc_poly, fv_r, axis=0)
+    p2 = jnp.repeat(inc_nxt, fv_r, axis=0)
+    e_live = jnp.repeat(edge_live, fv_r)
+    sn = jnp.tile(side_n, (fv_i, 1))
+    sd_ = jnp.tile(side_d, fv_i)
+    s_live = jnp.tile(side_live, fv_i)
+    g1 = jnp.sum(p1 * sn, axis=-1) - sd_
+    g2 = jnp.sum(p2 * sn, axis=-1) - sd_
+    crosses = (g1 > 0.0) != (g2 > 0.0)
+    t = g1 / jnp.where(jnp.abs(g1 - g2) > 1e-12, g1 - g2, 1.0)
+    inter = p1 + t[:, None] * (p2 - p1)
+    i_ok = e_live & s_live & crosses & inside_all(inter)
+
+    points = jnp.concatenate([inc_poly, inter], axis=0)
+    ok = jnp.concatenate([v_ok, i_ok], axis=0)
+    return points, ok
+
+
+def face_contact_manifold(ref_poly, ref_mask, ref_n, ref_d, other: HullW):
+    """Clip other's incident face against the ref face's side planes;
+    keep points below the ref plane, project onto it. Returns
+    (points4 [4,3], depths4 [4], num, normal)."""
+    inc_poly, inc_mask = _incident_face_poly(other, ref_n)
+    pts, ok = _clipped_poly_candidates(
+        inc_poly, inc_mask, ref_poly, ref_mask, ref_n
     )
-    poly_mask = jnp.concatenate(
-        [poly_mask, jnp.zeros((CLIP_BUF - poly_mask.shape[0],), bool)]
-    )
-    # compact the input (face verts are already contiguous, but be safe)
-    ref_pts, ref_mask = _face_polygon(ref, ref_face)
-    fv = ref_pts.shape[0]
-    count = jnp.sum(ref_mask.astype(jnp.int32))
-
-    def clip_step(i, carry):
-        poly, poly_mask = carry
-        cur = ref_pts[i]
-        nxt = ref_pts[jnp.where(i + 1 >= count, 0, i + 1)]
-        edge = nxt - cur
-        side_n = jnp.cross(edge, ref_n)
-        side_d = jnp.dot(side_n, cur)
-
-        def do(_):
-            return _clip_polygon_fixed(poly, poly_mask, side_n, side_d)
-
-        return jax.lax.cond(i < count, do, lambda _: (poly, poly_mask), None)
-
-    poly, poly_mask = jax.lax.fori_loop(0, fv, clip_step, (poly, poly_mask))
-
-    # keep points below ref plane, project onto it
-    d = poly @ ref_n - ref_d
-    below = poly_mask & (d <= 0.0)
-    proj = poly - d[:, None] * ref_n[None, :]
-    depths = -d
-    pts4, dep4, npts = _reduce_manifold(proj, depths, below, ref_n)
+    d = jnp.sum(pts * ref_n[None, :], axis=-1) - ref_d
+    below = ok & (d <= 0.0)
+    proj = pts - d[:, None] * ref_n[None, :]
+    pts4, dep4, npts = _reduce_manifold(proj, -d, below, ref_n)
     return pts4, dep4, npts, ref_n
 
 
@@ -319,61 +385,67 @@ def hull_hull_contact(a: HullW, b: HullW):
     """Full SAT + manifold for one hull pair (doSAT + generateContacts).
 
     Returns dict(valid, ref_is_a, points [4,3], depths [4], num, normal).
-    """
+    Both the face and edge manifolds are computed unconditionally and
+    selected by mask (uniform control flow; a lax.cond would lower to the
+    same select under vmap but with worse fusion)."""
     sep_a, face_a = query_face_directions(a, b)
     sep_b, face_b = query_face_directions(b, a)
-    sep_e, ea, eb, n_e = query_edge_directions(a, b)
+    sep_e, n_e, pa1, pa2, pb1, pb2 = query_edge_directions(a, b)
     separated = (sep_a > 0.0) | (sep_b > 0.0) | (sep_e > 0.0)
 
     is_face = (sep_a > sep_e) | (sep_b > sep_e)
     a_is_ref = sep_a >= sep_b
 
-    def face_case(_):
-        def a_ref(_):
-            pts, dep, n_pts, nrm = face_contact_manifold(
-                a, face_a, a.planes_n[face_a], a.planes_d[face_a], b
-            )
-            return pts, dep, n_pts, nrm, jnp.bool_(True)
-
-        def b_ref(_):
-            pts, dep, n_pts, nrm = face_contact_manifold(
-                b, face_b, b.planes_n[face_b], b.planes_d[face_b], a
-            )
-            return pts, dep, n_pts, nrm, jnp.bool_(False)
-
-        return jax.lax.cond(a_is_ref, a_ref, b_ref, None)
-
-    def edge_case(_):
-        # closest point on A's edge to B's edge (createEdgeContact)
-        pa1 = a.verts[a.edges[ea, 0]]
-        pa2 = a.verts[a.edges[ea, 1]]
-        pb1 = b.verts[b.edges[eb, 0]]
-        pb2 = b.verts[b.edges[eb, 1]]
-        v1 = pa2 - pa1
-        v2 = pb2 - pb1
-        v21 = pb1 - pa1
-        d22 = jnp.dot(v2, v2)
-        d11 = jnp.dot(v1, v1)
-        d21 = jnp.dot(v2, v1)
-        d211 = jnp.dot(v21, v1)
-        d212 = jnp.dot(v21, v2)
-        denom = d21 * d21 - d22 * d11
-        s_par = jnp.float32(0.0)
-        t_par = (d11 * s_par - d211) / jnp.where(
-            jnp.abs(d21) > 1e-12, d21, 1.0
-        )
-        s_gen = (d212 * d21 - d22 * d211) / denom
-        degenerate = jnp.abs(denom) < 1e-5
-        s = jnp.where(degenerate, s_par, s_gen)
-        s = jnp.clip(s, 0.0, 1.0)
-        contact = pa1 + s * v1
-        pts = jnp.zeros((4, 3), jnp.float32).at[0].set(contact)
-        dep = jnp.zeros((4,), jnp.float32).at[0].set(-sep_e)
-        return pts, dep, jnp.int32(1), n_e, jnp.bool_(True)
-
-    pts, dep, n_pts, nrm, ref_is_a = jax.lax.cond(
-        is_face, face_case, edge_case, None
+    # ---- face manifold with ref = argmax-separation hull (tree-select)
+    sel = lambda x, y: jnp.where(a_is_ref, x, y)
+    ref_face = jnp.where(a_is_ref, face_a, face_b)
+    ref_polys = jax.tree_util.tree_map(sel, a.face_polys, b.face_polys)
+    ref_poly = _onehot_pick(ref_polys, ref_face)
+    ref_pmask = jnp.sum(
+        jnp.where(
+            (jnp.arange(ref_polys.shape[0]) == ref_face)[:, None],
+            sel(a.face_poly_mask, b.face_poly_mask), False,
+        ), axis=0,
+    ).astype(bool)
+    ref_n = _onehot_pick(sel(a.planes_n, b.planes_n), ref_face)
+    ref_d = _onehot_pick(sel(a.planes_d, b.planes_d), ref_face)
+    other = jax.tree_util.tree_map(
+        lambda x, y: jnp.where(a_is_ref, y, x), a, b
     )
+    f_pts, f_dep, f_num, f_nrm = face_contact_manifold(
+        ref_poly, ref_pmask, ref_n, ref_d, other
+    )
+
+    # ---- edge manifold: closest point on A's winning edge
+    # (createEdgeContact, narrowphase.cpp:1070-1108)
+    v1 = pa2 - pa1
+    v2 = pb2 - pb1
+    v21 = pb1 - pa1
+    d22 = jnp.sum(v2 * v2)
+    d11 = jnp.sum(v1 * v1)
+    d21 = jnp.sum(v2 * v1)
+    d211 = jnp.sum(v21 * v1)
+    d212 = jnp.sum(v21 * v2)
+    denom = d21 * d21 - d22 * d11
+    s_gen = (d212 * d21 - d22 * d211) / jnp.where(
+        jnp.abs(denom) > 1e-12, denom, 1.0
+    )
+    s_par = -d211 / jnp.where(jnp.abs(d21) > 1e-12, d21, 1.0)
+    degenerate = jnp.abs(denom) < 1e-5
+    s = jnp.clip(jnp.where(degenerate, s_par, s_gen), 0.0, 1.0)
+    e_contact = pa1 + s * v1
+
+    pts = jnp.where(
+        is_face, f_pts,
+        jnp.zeros((4, 3), jnp.float32).at[0].set(e_contact),
+    )
+    dep = jnp.where(
+        is_face, f_dep, jnp.zeros((4,), jnp.float32).at[0].set(-sep_e)
+    )
+    n_pts = jnp.where(is_face, f_num, 1)
+    nrm = jnp.where(is_face, f_nrm, n_e)
+    ref_is_a = jnp.where(is_face, a_is_ref, jnp.bool_(True))
+
     valid = (~separated) & (n_pts > 0)
     return dict(
         valid=valid, ref_is_a=ref_is_a, points=pts, depths=dep,
@@ -387,22 +459,15 @@ def hull_plane_contact(h: HullW, plane_pos, plane_rot):
     plane — caller maps to its body index)."""
     n = m3.quat_rotate(plane_rot, jnp.array([0.0, 0.0, 1.0]))
     d = jnp.dot(n, plane_pos)
-    vd = h.verts @ n - d
+    vd = jnp.sum(h.verts * n[None, :], axis=-1) - d
     vd_masked = jnp.where(h.verts_mask, vd, BIG)
     separation = jnp.min(vd_masked)
 
-    inc_face = _find_incident_face(h, n)
-    poly, poly_mask = _face_polygon(h, inc_face)
-    pd = poly @ n - d
+    poly, poly_mask = _incident_face_poly(h, n)
+    pd = jnp.sum(poly * n[None, :], axis=-1) - d
     below = poly_mask & (pd <= 0.0)
     proj = poly - pd[:, None] * n[None, :]
-    depths = -pd
-    # pad to CLIP_BUF for the shared reducer
-    pad = CLIP_BUF - poly.shape[0]
-    proj = jnp.concatenate([proj, jnp.zeros((pad, 3), proj.dtype)])
-    depths = jnp.concatenate([depths, jnp.zeros((pad,), depths.dtype)])
-    below = jnp.concatenate([below, jnp.zeros((pad,), bool)])
-    pts4, dep4, npts = _reduce_manifold(proj, depths, below, n)
+    pts4, dep4, npts = _reduce_manifold(proj, -pd, below, n)
     valid = (separation <= 0.0) & (npts > 0)
     return dict(
         valid=valid, ref_is_a=jnp.bool_(False), points=pts4, depths=dep4,
@@ -448,69 +513,62 @@ def sphere_plane_contact(s_pos, s_r, plane_pos, plane_rot):
 
 def sphere_hull_contact(s_pos, s_r, h: HullW):
     """Sphere vs hull via exact closest-point enumeration over the padded
-    face polygons (replaces the reference's GJK + deep-SAT fallback,
+    hull tables (replaces the reference's GJK + deep-SAT fallback,
     narrowphase.cpp:1332-1418; exact for our bounded hull sizes)."""
     # signed distances to all face planes
-    fd = h.planes_n @ s_pos - h.planes_d
+    fd = jnp.sum(h.planes_n * s_pos[None, :], axis=-1) - h.planes_d
     fd_masked = jnp.where(h.faces_mask, fd, NEG_BIG)
     max_fd = jnp.max(fd_masked)
     inside = max_fd <= 0.0
 
-    # closest point on hull surface: consider per-face projected point
-    # clamped into the face polygon via edge/vertex checks. Enumerate:
-    # (1) per-vertex distance, (2) per-edge segment closest point,
-    # (3) per-face plane projection if it lies inside the face.
+    # closest surface point: vertices, edge segments, face interiors
     vdist2 = jnp.sum((h.verts - s_pos) ** 2, axis=-1)
     vdist2 = jnp.where(h.verts_mask, vdist2, BIG)
     vi = jnp.argmin(vdist2)
-    best_pt = h.verts[vi]
-    best_d2 = vdist2[vi]
+    best_pt = _onehot_pick(h.verts, vi)
+    best_d2 = jnp.min(vdist2)
 
-    e1 = h.verts[h.edges[:, 0]]
-    e2 = h.verts[h.edges[:, 1]]
-    ev = e2 - e1
-    tt = jnp.sum((s_pos - e1) * ev, axis=-1) / jnp.maximum(
+    ev = h.edge_p2 - h.edge_p1
+    tt = jnp.sum((s_pos - h.edge_p1) * ev, axis=-1) / jnp.maximum(
         jnp.sum(ev * ev, axis=-1), 1e-12
     )
     tt = jnp.clip(tt, 0.0, 1.0)
-    ept = e1 + tt[:, None] * ev
+    ept = h.edge_p1 + tt[:, None] * ev
     ed2 = jnp.sum((ept - s_pos) ** 2, axis=-1)
     ed2 = jnp.where(h.edges_mask, ed2, BIG)
     ei = jnp.argmin(ed2)
-    best_pt = jnp.where(ed2[ei] < best_d2, ept[ei], best_pt)
-    best_d2 = jnp.minimum(ed2[ei], best_d2)
+    e_best = _onehot_pick(ept, ei)
+    e_d2 = jnp.min(ed2)
+    best_pt = jnp.where(e_d2 < best_d2, e_best, best_pt)
+    best_d2 = jnp.minimum(e_d2, best_d2)
 
-    # face interior projections: point - d*n inside all side planes
-    proj = s_pos[None, :] - fd[:, None] * h.planes_n  # [F, 3]
-
-    def inside_face(f_idx):
-        pts, mask = _face_polygon(h, f_idx)
-        count = jnp.sum(mask.astype(jnp.int32))
-        nxt = jnp.roll(jnp.arange(pts.shape[0]), -1)
-        nxt = jnp.where(nxt >= count, 0, nxt)
-        edges = pts[nxt] - pts
-        side_n = jnp.cross(edges, h.planes_n[f_idx][None, :])
-        sd = jnp.sum(side_n * (proj[f_idx][None, :] - pts), axis=-1)
-        ok = jnp.all(jnp.where(mask, sd <= 1e-7, True))
-        return ok
-
-    f_inside = jax.vmap(inside_face)(jnp.arange(h.planes_n.shape[0]))
+    # face interior projections: s - fd*n inside all of the face's side
+    # planes ([F, FV] flattened test over the precomputed polygons)
+    proj = s_pos[None, :] - fd[:, None] * h.planes_n       # [F, 3]
+    poly_nxt = jax.vmap(_poly_next)(h.face_polys, h.face_poly_mask)
+    side_n = jnp.cross(
+        poly_nxt - h.face_polys, h.planes_n[:, None, :]
+    )  # [F, FV, 3]
+    sd = jnp.sum(side_n * (proj[:, None, :] - h.face_polys), axis=-1)
+    f_inside = jnp.all(
+        jnp.where(h.face_poly_mask, sd <= 1e-7, True), axis=-1
+    )
     f_ok = f_inside & h.faces_mask & (fd > 0.0)
     f_d2 = jnp.where(f_ok, fd * fd, BIG)
     fi = jnp.argmin(f_d2)
-    best_pt = jnp.where(f_d2[fi] < best_d2, proj[fi], best_pt)
-    best_d2 = jnp.minimum(f_d2[fi], best_d2)
+    f_best = _onehot_pick(proj, fi)
+    f_d2min = jnp.min(f_d2)
+    best_pt = jnp.where(f_d2min < best_d2, f_best, best_pt)
+    best_d2 = jnp.minimum(f_d2min, best_d2)
 
     dist = jnp.sqrt(jnp.maximum(best_d2, 1e-30))
     to_sphere = (s_pos - best_pt) / dist
     # deep case: face of least penetration
     deep_face = jnp.argmax(fd_masked)
-    deep_n = h.planes_n[deep_face]
+    deep_n = _onehot_pick(h.planes_n, deep_face)
     n = jnp.where(inside, deep_n, to_sphere)      # ref(hull) -> sphere
     depth = jnp.where(inside, -max_fd + s_r, s_r - dist)
-    pt = jnp.where(
-        inside, s_pos - (fd_masked[deep_face]) * deep_n, best_pt
-    )
+    pt = jnp.where(inside, s_pos - max_fd * deep_n, best_pt)
     pts = jnp.zeros((4, 3)).at[0].set(pt)
     dep = jnp.zeros((4,)).at[0].set(depth)
     valid = depth >= 0.0

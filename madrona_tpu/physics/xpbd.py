@@ -44,6 +44,14 @@ class PhysicsConfig:
     gravity: tuple = (0.0, 0.0, -9.8)
     restitution: float = 0.3        # reference hardcodes e=0.3 (xpbd.cpp:884)
     restitution_threshold: float = 0.2
+    # "jacobi": all contacts solved in parallel against a body snapshot,
+    #   corrections scatter-added and averaged per body — the TPU-fast
+    #   execution shape (one wide VPU op instead of a serial loop).
+    #   Documented solver-order deviation from the reference.
+    # "gauss_seidel": slot-order serial solve, matching the reference's
+    #   per-world iteration semantics exactly (the oracle mode).
+    solver: str = "jacobi"
+    jacobi_iters: int = 2           # position iterations per substep
 
 
 @jax.tree_util.register_dataclass
@@ -464,3 +472,297 @@ def solve_velocities(
         return body
 
     return jax.lax.fori_loop(0, ccap, step, body)
+
+
+# ---------------------------------------------------------------------------
+# Jacobi solver path — the TPU execution shape.
+#
+# The reference solves contacts serially per world (Gauss-Seidel over the
+# contact table, xpbd.cpp:720-736). That shape is latency-bound on TPU: C
+# sequential iterations of [W]-wide gathers/scatters. Here every contact is
+# solved in parallel against a snapshot of body state ([W, C]-wide ops on
+# the VPU); per-body corrections are scatter-added and divided by the
+# body's constraint count (averaged Jacobi — the standard GPU-physics
+# relaxation, e.g. FleX). SURVEY.md §7 calls this deviation out explicitly;
+# PhysicsConfig.solver="gauss_seidel" keeps the exact reference ordering
+# for oracle comparisons.
+# ---------------------------------------------------------------------------
+
+
+# Packed body block: every float field a contact gather needs, in one
+# [W, N, PACK_F] array. One take_along_axis per side materializes ONE
+# lane-efficient buffer instead of ~14 [W, C, 3]-shaped ones (each of
+# which pads 3 -> 128 lanes under TPU tiling — a 42x bandwidth tax that
+# dominated the solver before this packing).
+_PACK_SLOTS = (
+    ("x", 3), ("q", 4), ("prev_x", 3), ("prev_q", 4),
+    ("presolve_x", 3), ("presolve_q", 4), ("presolve_v", 3),
+    ("presolve_w", 3), ("v", 3), ("w", 3),
+    ("inv_m", 1), ("inv_i", 3), ("mu_s", 1), ("mu_d", 1),
+)
+PACK_F = sum(d for _, d in _PACK_SLOTS)  # 39
+
+
+def pack_bodies(body: BodyState, om):
+    """[W, N, PACK_F] solver view of the body state."""
+    inv_m = om.inv_mass[body.obj_id]
+    inv_i = om.inv_inertia[body.obj_id]
+    static = body.response == RESPONSE_STATIC
+    inv_m = jnp.where(static, 0.0, inv_m)
+    inv_i = jnp.where(static[..., None], 0.0, inv_i)
+    parts = dict(
+        x=body.pos, q=body.rot, prev_x=body.prev_x, prev_q=body.prev_q,
+        presolve_x=body.presolve_x, presolve_q=body.presolve_q,
+        presolve_v=body.presolve_v, presolve_w=body.presolve_w,
+        v=body.vel, w=body.omega,
+        inv_m=inv_m[..., None], inv_i=inv_i,
+        mu_s=om.mu_s[body.obj_id][..., None],
+        mu_d=om.mu_d[body.obj_id][..., None],
+    )
+    return jnp.concatenate([parts[k] for k, _ in _PACK_SLOTS], axis=-1)
+
+
+def _unpack(block):
+    """Packed block [..., PACK_F] -> field dict (slices fuse for free)."""
+    out = {}
+    off = 0
+    for name, d in _PACK_SLOTS:
+        v = block[..., off:off + d]
+        out[name] = v[..., 0] if d == 1 else v
+        off += d
+    return out
+
+
+def _gather_packed(packed, rows):
+    """One gather of the packed block at rows [W, C] -> field dict.
+
+    Implemented as a one-hot batched matmul: XLA's TPU gather lowering
+    re-reads the operand per output row (we measured 207 GB of operand
+    traffic for a 25 MB table); with N ~ tens, einsum against a one-hot
+    runs on the MXU at trivial cost."""
+    n = packed.shape[1]
+    oh = jax.nn.one_hot(jnp.clip(rows, 0, n - 1), n, dtype=packed.dtype)
+    blk = jnp.einsum(
+        "wcn,wnf->wcf", oh, packed, preferred_element_type=jnp.float32
+    )
+    return _unpack(blk)
+
+
+def _gather_bodies_batch(body: BodyState, om, rows):
+    """Per-contact body slices, vectorized over slots. rows: [W, C]."""
+    return _gather_packed(pack_bodies(body, om), rows)
+
+
+def _scatter_avg(base, rows, deltas, ok):
+    """base [W,N,D] += mean of masked per-slot deltas [W,C,D] per row."""
+    w, n = base.shape[:2]
+    widx = jnp.arange(w)[:, None]
+    safe = jnp.where(ok, rows, n)
+    zero = jnp.zeros((w, n + 1) + base.shape[2:], base.dtype)
+    acc = zero.at[widx, safe].add(
+        jnp.where(ok.reshape(ok.shape + (1,) * (deltas.ndim - 2)), deltas, 0.0)
+    )[:, :n]
+    cnt = jnp.zeros((w, n + 1), jnp.float32).at[widx, safe].add(
+        ok.astype(jnp.float32)
+    )[:, :n]
+    cnt = jnp.maximum(cnt, 1.0).reshape(cnt.shape + (1,) * (base.ndim - 2))
+    return base + acc / cnt
+
+
+def _scatter_avg_packed(rows, deltas, ok, n):
+    """ONE packed scatter-add: deltas [W, C, D] at rows [W, C] -> per-body
+    (mean delta [W, N, D]). One-hot matmul for the same reason as
+    _gather_packed (a masked-out row one-hots to all-zero, so invalid
+    slots contribute nothing)."""
+    masked_rows = jnp.where(ok, rows, -1)
+    oh = jax.nn.one_hot(masked_rows, n, dtype=deltas.dtype)  # [W, C, N]
+    # count channel rides along as an extra packed column; deltas are
+    # zeroed explicitly (NaN * one-hot-zero would still be NaN)
+    payload = jnp.concatenate(
+        [jnp.where(ok[..., None], deltas, 0.0),
+         jnp.ones_like(deltas[..., :1])], axis=-1
+    )
+    acc = jnp.einsum(
+        "wcn,wcd->wnd", oh, payload, preferred_element_type=jnp.float32
+    )
+    dd = deltas.shape[-1]
+    cnt = jnp.maximum(acc[..., dd:], 1.0)
+    return acc[..., :dd] / cnt
+
+
+def _avg_contacts_batch(points, num):
+    """Vectorized _get_avg_contact over [W, C, 4, 4]."""
+    idx = jnp.arange(4)
+    live = idx[None, None, :] < num[..., None]
+    wgt = jnp.where(live, points[..., 3], 0.0)
+    total = jnp.sum(wgt, axis=-1)
+    zero = total == 0.0
+    avg = jnp.sum(
+        (wgt / jnp.where(zero, 1.0, total)[..., None])[..., None]
+        * points[..., :3], axis=-2
+    )
+    max_pen = jnp.max(jnp.where(live, points[..., 3], -3e38), axis=-1)
+    return avg, max_pen, zero
+
+
+def solve_positions_jacobi(
+    body: BodyState, contacts: Contacts, om, iters: int = 2
+):
+    """Vectorized position solve: all contacts at once, averaged scatter.
+
+    Same per-contact math as solve_positions (normal + static friction,
+    handleContactConstraint xpbd.cpp:322-421); only the application order
+    differs (Jacobi averaging instead of serial Gauss-Seidel)."""
+    ref, alt = contacts.ref, contacts.alt
+    active = contacts.num > 0
+    avg, max_pen, zero = _avg_contacts_batch(contacts.points, contacts.num)
+    ok = active & (~zero)
+    nrm = contacts.normal
+    lam_total = jnp.zeros_like(contacts.lambda_n)
+    n = body.pos.shape[1]
+
+    for _ in range(iters):
+        packed = pack_bodies(body, om)
+        b1 = _gather_packed(packed, ref)
+        b2 = _gather_packed(packed, alt)
+        r1, r2 = _local_contacts(b1, b2, avg, max_pen, nrm)
+        avg_mu_s = 0.5 * (b1["mu_s"] + b2["mu_s"])
+        x1, x2, q1, q2, lam_n = _solve_contact(
+            b1["x"], b2["x"], b1["q"], b2["q"],
+            b1["prev_x"], b1["prev_q"], b2["prev_x"], b2["prev_q"],
+            b1["inv_m"], b2["inv_m"], b1["inv_i"], b2["inv_i"],
+            r1, r2, nrm, avg_mu_s,
+        )
+        lam_total = lam_total + jnp.where(ok, lam_n, 0.0)
+        # one packed scatter over both sides: deltas (dx | dq) [W, 2C, 7]
+        rows2 = jnp.concatenate([ref, alt], axis=1)
+        ok2 = jnp.concatenate([ok, ok], axis=1)
+        d1 = jnp.concatenate([x1 - b1["x"], q1 - b1["q"]], axis=-1)
+        d2 = jnp.concatenate([x2 - b2["x"], q2 - b2["q"]], axis=-1)
+        deltas = jnp.concatenate([d1, d2], axis=1)
+        mean = _scatter_avg_packed(rows2, deltas, ok2, n)
+        pos = body.pos + mean[..., :3]
+        rot = m3.quat_normalize(body.rot + mean[..., 3:7])
+        body = dataclasses.replace(body, pos=pos, rot=rot)
+
+    return body, dataclasses.replace(contacts, lambda_n=lam_total)
+
+
+def solve_velocities_jacobi(
+    body: BodyState, contacts: Contacts, om, h: float,
+    restitution: float, restitution_threshold: float,
+) -> BodyState:
+    """Vectorized velocity solve: restitution + dynamic friction for all
+    contacts at once (same math as solve_velocities), averaged scatter."""
+    ref, alt = contacts.ref, contacts.alt
+    num = contacts.num
+    active = num > 0
+    pts = contacts.points
+    nrm = contacts.normal
+    lam_n = contacts.lambda_n
+    n = body.pos.shape[1]
+
+    packed = pack_bodies(body, om)
+    b1 = _gather_packed(packed, ref)
+    b2 = _gather_packed(packed, alt)
+    mu_d = 0.5 * (b1["mu_d"] + b2["mu_d"])
+
+    avg, max_pen, zero = _avg_contacts_batch(pts, num)
+    ok = active & (~zero)
+
+    r1, r2 = _local_contacts(b1, b2, avg, max_pen, nrm)
+    r1_pre = m3.quat_rotate(b1["presolve_q"], r1)
+    r2_pre = m3.quat_rotate(b2["presolve_q"], r2)
+    v_bar = (
+        b1["presolve_v"] + jnp.cross(b1["presolve_w"], r1_pre)
+    ) - (b2["presolve_v"] + jnp.cross(b2["presolve_w"], r2_pre))
+    vn_bar = jnp.sum(nrm * v_bar, axis=-1)
+
+    v1, w1 = b1["v"], b1["w"]
+    v2, w2 = b2["v"], b2["w"]
+    q1, q2 = b1["q"], b2["q"]
+
+    # restitution on the averaged contact
+    r1_world = m3.quat_rotate(q1, r1)
+    r2_world = m3.quat_rotate(q2, r2)
+    rt_axis1 = jnp.cross(r1, m3.quat_rotate(m3.quat_inv(q1), nrm))
+    rt_axis2 = jnp.cross(r2, m3.quat_rotate(m3.quat_inv(q2), nrm))
+    v_now = (v1 + jnp.cross(w1, r1_world)) - (v2 + jnp.cross(w2, r2_world))
+    vn = jnp.sum(nrm * v_now, axis=-1)
+    e = jnp.where(
+        jnp.abs(vn_bar) <= restitution_threshold, 0.0, restitution
+    )
+    rest_mag = jnp.minimum(-e * vn_bar, 0.0) - vn
+    rr_axis1 = b1["inv_i"] * rt_axis1
+    rr_axis2 = b2["inv_i"] * rt_axis2
+    gw1 = _generalized_inv_mass(rt_axis1, rr_axis1, b1["inv_m"])
+    gw2 = _generalized_inv_mass(rt_axis2, rr_axis2, b2["inv_m"])
+    imp = jnp.where(ok, rest_mag / (gw1 + gw2), 0.0)
+    dv1 = nrm * (imp * b1["inv_m"])[..., None]
+    dv2 = -nrm * (imp * b2["inv_m"])[..., None]
+    dw1 = m3.quat_rotate(q1, imp[..., None] * rr_axis1)
+    dw2 = -m3.quat_rotate(q2, imp[..., None] * rr_axis2)
+
+    # dynamic friction per manifold point (vectorized over the 4 points)
+    pen = pts[..., 3]                                     # [W, C, 4]
+    live_pt = jnp.arange(4)[None, None, :] < num[..., None]
+    pen_sum = jnp.sum(jnp.where(live_pt, pen, 0.0), axis=-1)
+    has_pen = pen_sum > 0.0
+
+    cp = pts[..., :3]                                     # [W, C, 4, 3]
+    n4 = nrm[..., None, :]
+    # broadcast per-contact body data over the 4 manifold points:
+    # [W,C,d] vectors -> [W,C,1,d]; [W,C] scalars -> [W,C,1]
+    expand = lambda v: v[..., None, :] if v.ndim == 3 else v[..., None]
+    keys = ("presolve_x", "presolve_q", "inv_m", "inv_i", "q")
+    b1e = {k: expand(b1[k]) for k in keys}
+    b2e = {k: expand(b2[k]) for k in keys}
+    rr1, rr2 = _local_contacts(b1e, b2e, cp, pen, n4)
+    rw1 = m3.quat_rotate(b1e["q"], rr1)
+    rw2 = m3.quat_rotate(b2e["q"], rr2)
+    lam_pt = lam_n[..., None] * (
+        pen / jnp.where(has_pen, pen_sum, 1.0)[..., None]
+    )
+
+    v_rel = (
+        v1[..., None, :] + jnp.cross(w1[..., None, :] + dw1[..., None, :], rw1)
+    ) - (
+        v2[..., None, :] + jnp.cross(w2[..., None, :] + dw2[..., None, :], rw2)
+    )
+    # include the restitution delta on linear velocity too
+    v_rel = v_rel + (dv1 - dv2)[..., None, :]
+    vn_f = jnp.sum(n4 * v_rel, axis=-1)
+    vt = v_rel - n4 * vn_f[..., None]
+    vt_len = jnp.sqrt(jnp.maximum(jnp.sum(vt * vt, axis=-1), 1e-30))
+    has_t = vt_len > 1e-15
+    t_dir = vt / vt_len[..., None]
+    t_l1 = m3.quat_rotate(m3.quat_inv(b1e["q"]), t_dir)
+    t_l2 = m3.quat_rotate(m3.quat_inv(b2e["q"]), t_dir)
+    fta1 = jnp.cross(rr1, t_l1)
+    fta2 = jnp.cross(rr2, t_l2)
+    fra1 = b1e["inv_i"] * fta1
+    fra2 = b2e["inv_i"] * fta2
+    fw1 = _generalized_inv_mass(fta1, fra1, b1e["inv_m"])
+    fw2 = _generalized_inv_mass(fta2, fra2, b2e["inv_m"])
+    inv_scale = 1.0 / (fw1 + fw2)
+    dyn_mag = mu_d[..., None] * jnp.abs(lam_pt) * inv_scale / h
+    corrected = -jnp.minimum(dyn_mag, vt_len)
+    f_imp = corrected * inv_scale
+    f_imp = jnp.where(
+        ok[..., None] & live_pt & has_pen[..., None] & has_t, f_imp, 0.0
+    )
+    fdv1 = jnp.sum(t_dir * (f_imp * b1e["inv_m"])[..., None], axis=-2)
+    fdv2 = -jnp.sum(t_dir * (f_imp * b2e["inv_m"])[..., None], axis=-2)
+    fdw1 = jnp.sum(m3.quat_rotate(b1e["q"], f_imp[..., None] * fra1), axis=-2)
+    fdw2 = -jnp.sum(m3.quat_rotate(b2e["q"], f_imp[..., None] * fra2), axis=-2)
+
+    rows2 = jnp.concatenate([ref, alt], axis=1)
+    ok2 = jnp.concatenate([ok, ok], axis=1)
+    d1 = jnp.concatenate([dv1 + fdv1, dw1 + fdw1], axis=-1)
+    d2 = jnp.concatenate([dv2 + fdv2, dw2 + fdw2], axis=-1)
+    mean = _scatter_avg_packed(
+        rows2, jnp.concatenate([d1, d2], axis=1), ok2, n
+    )
+    return dataclasses.replace(
+        body, vel=body.vel + mean[..., :3], omega=body.omega + mean[..., 3:6]
+    )
