@@ -53,6 +53,29 @@ class ObjectManager:
     # small [.., 3]-trailing gathers each pad 3 -> 128 lanes on TPU)
     hull_pack: jnp.ndarray            # [O, K] f32
     hull_dims: tuple                  # static (V, F, FV, E)
+    # per-object scalar params packed for one-hot lookup: inv_mass(1),
+    # inv_inertia(3), mu_s(1), mu_d(1), aabb_min(3), aabb_max(3),
+    # sphere_radius(1), prim_type(1 as float)
+    body_pack: jnp.ndarray            # [O, 14] f32
+
+    def obj_params(self, obj_id):
+        """Per-body object params via one-hot einsum (tiny-table gathers
+        like inv_mass[obj_id] each cost ~1 ms on TPU for [W,N] index
+        sets; one MXU einsum against the packed block is ~free)."""
+        import jax
+
+        oh = jax.nn.one_hot(obj_id, self.body_pack.shape[0])
+        blk = jnp.einsum(
+            "...o,op->...p", oh, self.body_pack,
+            preferred_element_type=jnp.float32,
+        )
+        return dict(
+            inv_m=blk[..., 0], inv_i=blk[..., 1:4],
+            mu_s=blk[..., 4], mu_d=blk[..., 5],
+            aabb_min=blk[..., 6:9], aabb_max=blk[..., 9:12],
+            sphere_radius=blk[..., 12],
+            prim_type=blk[..., 13].astype(jnp.int32),
+        )
     # metadata (RigidBodyMetadata)
     inv_mass: jnp.ndarray         # [O] f32
     inv_inertia: jnp.ndarray      # [O, 3] f32 (diagonal, principal frame)
@@ -268,6 +291,19 @@ class ObjectRegistry:
             ),
             hull_pack=jnp.asarray(stack(lambda r: _pack_hull(hull_of(r)))),
             hull_dims=(nv, nf, nfv, ne),
+            body_pack=jnp.asarray(
+                stack(
+                    lambda r: np.concatenate([
+                        [np.float32(r["inv_mass"])],
+                        np.asarray(r["inv_inertia"], np.float32),
+                        [np.float32(r["mu_s"]), np.float32(r["mu_d"])],
+                        np.asarray(r["aabb"][0], np.float32),
+                        np.asarray(r["aabb"][1], np.float32),
+                        [np.float32(r["radius"]),
+                         np.float32(r["prim_type"])],
+                    ])
+                )
+            ),
             inv_mass=jnp.asarray(stack(lambda r: np.float32(r["inv_mass"]))),
             inv_inertia=jnp.asarray(
                 stack(lambda r: np.asarray(r["inv_inertia"], np.float32))

@@ -61,11 +61,12 @@ class Candidates:
     sp_kind: jax.Array  # [W, CAP_S] i32 — geo type of second prim
 
 
-def world_aabbs(body: BodyState, om, expansion_dt: float):
+def world_aabbs(body: BodyState, om, expansion_dt: float, params=None):
     """Per-body world AABB, expanded along velocity (updateLeafPositions +
     expandLeaf). Returns (lo [W,N,3], hi [W,N,3])."""
-    lo_l = om.local_aabb_min[body.obj_id]
-    hi_l = om.local_aabb_max[body.obj_id]
+    params = params or om.obj_params(body.obj_id)
+    lo_l = params["aabb_min"]
+    hi_l = params["aabb_max"]
     lo, hi = m3.aabb_transform((lo_l, hi_l), body.pos, body.rot, body.scale)
     delta = body.vel * expansion_dt
     lo = lo + jnp.minimum(delta, 0.0)
@@ -78,8 +79,9 @@ def find_candidates(
 ) -> Candidates:
     """All-pairs overlap -> compacted typed candidate buffers."""
     w, n = body.pos.shape[:2]
-    lo, hi = world_aabbs(body, om, expansion_dt)
-    ptype = om.prim_type[body.obj_id]                     # [W, N]
+    params = om.obj_params(body.obj_id)
+    lo, hi = world_aabbs(body, om, expansion_dt, params=params)
+    ptype = params["prim_type"]                           # [W, N]
     static = body.response == RESPONSE_STATIC
 
     # upper-triangle pair enumeration (static shape: P = n*(n-1)/2)

@@ -192,50 +192,91 @@ def _is_minkowski_face(na1, na2, nb1, nb2):
     return (cba * dba < 0.0) & (adc * bdc < 0.0) & (cba * bdc > 0.0)
 
 
+def _v3(arr):
+    """[K, 3] -> component tuple ([K], [K], [K]).
+
+    The E*E edge-combination tensors are the narrowphase's biggest data
+    ([W, P, E2(, 3)] under the vmap); keeping a trailing 3-vector axis
+    makes every cross/dot a pad/slice/transpose at an XLA fusion
+    boundary (measured: dozens of 113 MB pad/copy ops per step). Scalar
+    component planes keep the whole chain in one elementwise fusion."""
+    return arr[..., 0], arr[..., 1], arr[..., 2]
+
+
+def _v3cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _v3dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _v3sub(a, b):
+    return a[0] - b[0], a[1] - b[1], a[2] - b[2]
+
+
 def query_edge_directions(a: HullW, b: HullW):
     """(max separation, edge normal, A edge endpoints, B edge endpoints)
     over Gauss-map-valid edge pairs (queryEdgeDirections,
     narrowphase.cpp:464-567).
 
-    The Ea x Eb combination space is flattened to one trailing axis (a
-    2-D [..., Ea, Eb] trailing shape tiles as (8, 128) per slice on TPU —
-    5x memory padding at Ea=Eb=12); combinations are built by structured
-    repeat/tile, never gathers. Winner extraction is one-hot."""
+    The Ea x Eb combination space is flattened to one trailing axis and
+    computed on scalar component planes (see _v3); combinations are
+    built by structured repeat/tile, never gathers; winner extraction is
+    one-hot."""
     ea, eb = a.edge_p1.shape[0], b.edge_p1.shape[0]
 
-    def rep_a(x):
-        return jnp.repeat(x, eb, axis=0)
+    def rep_a(v):
+        return tuple(jnp.repeat(x, eb, axis=0) for x in v)
 
-    def rep_b(x):
-        return jnp.tile(x, (ea,) + (1,) * (x.ndim - 1))
+    def rep_b(v):
+        return tuple(jnp.tile(x, ea) for x in v)
 
-    ea_p1, ea_p2 = rep_a(a.edge_p1), rep_a(a.edge_p2)
-    eb_p1, eb_p2 = rep_b(b.edge_p1), rep_b(b.edge_p2)
+    def neg(v):
+        return tuple(-x for x in v)
 
-    mink = _is_minkowski_face(
-        rep_a(a.edge_n1), rep_a(a.edge_n2),
-        -rep_b(b.edge_n1), -rep_b(b.edge_n2),
-    )
-    cr = jnp.cross(ea_p2 - ea_p1, eb_p2 - eb_p1)
-    len2 = jnp.sum(cr * cr, axis=-1)
+    ea_p1, ea_p2 = rep_a(_v3(a.edge_p1)), rep_a(_v3(a.edge_p2))
+    eb_p1, eb_p2 = rep_b(_v3(b.edge_p1)), rep_b(_v3(b.edge_p2))
+
+    # Gauss-map arc test (isMinkowskiFace, narrowphase.cpp:367-380)
+    na1, na2 = rep_a(_v3(a.edge_n1)), rep_a(_v3(a.edge_n2))
+    nb1, nb2 = neg(rep_b(_v3(b.edge_n1))), neg(rep_b(_v3(b.edge_n2)))
+    bxa = _v3cross(na2, na1)
+    dxc = _v3cross(nb2, nb1)
+    cba = _v3dot(nb1, bxa)
+    dba = _v3dot(nb2, bxa)
+    adc = _v3dot(na1, dxc)
+    bdc = _v3dot(na2, dxc)
+    mink = (cba * dba < 0.0) & (adc * bdc < 0.0) & (cba * bdc > 0.0)
+
+    cr = _v3cross(_v3sub(ea_p2, ea_p1), _v3sub(eb_p2, eb_p1))
+    len2 = _v3dot(cr, cr)
     ok = (
         mink & (len2 > 1e-12)
-        & rep_a(a.edges_mask) & rep_b(b.edges_mask)
+        & jnp.repeat(a.edges_mask, eb) & jnp.tile(b.edges_mask, ea)
     )
     inv_len = jax.lax.rsqrt(jnp.maximum(len2, 1e-30))
-    n = cr * inv_len[..., None]
+    n = tuple(c * inv_len for c in cr)
     # orient away from A's center
-    to_edge = ea_p1 - a.center[None, :]
-    flip = jnp.sum(n * to_edge, axis=-1) < 0.0
-    n = jnp.where(flip[..., None], -n, n)
-    sep = jnp.sum(n * (eb_p1 - ea_p1), axis=-1)
+    cx, cy, cz = a.center[0], a.center[1], a.center[2]
+    to_edge = (ea_p1[0] - cx, ea_p1[1] - cy, ea_p1[2] - cz)
+    flip = jnp.where(_v3dot(n, to_edge) < 0.0, -1.0, 1.0)
+    n = tuple(c * flip for c in n)
+    sep = _v3dot(n, _v3sub(eb_p1, ea_p1))
     sep = jnp.where(ok, sep, NEG_BIG)
     win = jnp.argmax(sep)
+    oh = (jnp.arange(sep.shape[0]) == win).astype(sep.dtype)
+
+    def pick3(v):
+        return jnp.stack([jnp.sum(oh * c, axis=0) for c in v])
+
     return (
-        jnp.max(sep),
-        _onehot_pick(n, win),
-        _onehot_pick(ea_p1, win), _onehot_pick(ea_p2, win),
-        _onehot_pick(eb_p1, win), _onehot_pick(eb_p2, win),
+        jnp.max(sep), pick3(n),
+        pick3(ea_p1), pick3(ea_p2), pick3(eb_p1), pick3(eb_p2),
     )
 
 

@@ -96,8 +96,9 @@ def integrate(body: BodyState, om, h: float, gravity) -> BodyState:
     integrate velocity -> position, gyroscopic omega update, quaternion
     integration (xpbd.cpp:98-185)."""
     g = jnp.asarray(gravity, jnp.float32)
-    inv_m = om.inv_mass[body.obj_id]              # [W, N]
-    inv_i = om.inv_inertia[body.obj_id]           # [W, N, 3]
+    params = om.obj_params(body.obj_id)
+    inv_m = params["inv_m"]                       # [W, N]
+    inv_i = params["inv_i"]                       # [W, N, 3]
     dynamic = body.response == RESPONSE_DYNAMIC
     static = body.response == RESPONSE_STATIC
     moving = (~static) & body.active
@@ -505,19 +506,18 @@ PACK_F = sum(d for _, d in _PACK_SLOTS)  # 39
 
 def pack_bodies(body: BodyState, om):
     """[W, N, PACK_F] solver view of the body state."""
-    inv_m = om.inv_mass[body.obj_id]
-    inv_i = om.inv_inertia[body.obj_id]
+    params = om.obj_params(body.obj_id)
     static = body.response == RESPONSE_STATIC
-    inv_m = jnp.where(static, 0.0, inv_m)
-    inv_i = jnp.where(static[..., None], 0.0, inv_i)
+    inv_m = jnp.where(static, 0.0, params["inv_m"])
+    inv_i = jnp.where(static[..., None], 0.0, params["inv_i"])
     parts = dict(
         x=body.pos, q=body.rot, prev_x=body.prev_x, prev_q=body.prev_q,
         presolve_x=body.presolve_x, presolve_q=body.presolve_q,
         presolve_v=body.presolve_v, presolve_w=body.presolve_w,
         v=body.vel, w=body.omega,
         inv_m=inv_m[..., None], inv_i=inv_i,
-        mu_s=om.mu_s[body.obj_id][..., None],
-        mu_d=om.mu_d[body.obj_id][..., None],
+        mu_s=params["mu_s"][..., None],
+        mu_d=params["mu_d"][..., None],
     )
     return jnp.concatenate([parts[k] for k, _ in _PACK_SLOTS], axis=-1)
 
