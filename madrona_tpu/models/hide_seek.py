@@ -1,0 +1,536 @@
+"""Hide & Seek: team-based physics env with pixel observations.
+
+Capability-parity target for the reference ecosystem's ``gpu_hideseek``
+example (``/root/reference/README.md:36-39``, the engine-scale design
+point of 16k worlds — tracing.hpp:26-28): hiders and seekers in a walled
+arena with movable, lockable boxes; a prep phase where only hiders act;
+per-step team rewards driven by occlusion-aware visibility; per-agent
+RGBD camera observations rendered by the batch raycaster.
+
+Simplifications vs the full game (documented): no ramps; lock is a
+global toggle (any agent can lock/unlock a faced box -> it becomes
+static) instead of team-owned locks; visibility = line-of-sight ray +
+±60° facing cone instead of the reference's view-frustum test chain.
+
+Actions per agent: (move_amount 0-3, move_angle 0-7, rotate 0-4,
+grab 0-1, lock 0-1). Agents 0..NH-1 are hiders, the rest seekers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.registry import ECSRegistry
+from ..graph.builder import TaskGraphBuilder
+from ..physics import api as papi
+from ..physics import bodies, broadphase as bp
+from ..physics import joints as jt
+from ..physics.xpbd import PhysicsConfig
+from ..render import MeshRegistry, RenderConfig, RenderingSystem
+from ..render.raycast import _trace_rays
+from ..utils import math3d as m3
+from ..utils import rng as _rng
+from .base import EnvBase
+
+N_HIDERS = 2
+N_SEEKERS = 2
+N_AGENTS = N_HIDERS + N_SEEKERS
+N_BOXES = 3
+
+ARENA = 20.0            # arena half-width
+WALL_H = 3.0
+BOX_HALF = 0.9
+AGENT_HALF = (0.4, 0.4, 0.8)
+AGENT_Z = AGENT_HALF[2]
+
+# body rows
+ROW_FLOOR = 0
+ROW_WALL0 = 1           # 4 walls
+ROW_BOX0 = 5
+ROW_AGENT0 = ROW_BOX0 + N_BOXES          # 8
+N_BODIES = ROW_AGENT0 + N_AGENTS         # 12
+
+EPISODE_LEN = 240
+PREP_STEPS = 96
+DT = 0.04
+SUBSTEPS = 4
+MOVE_FORCE = 70.0
+TURN_SPEED = 2.5
+GRAB_RANGE = 2.5
+MAX_SPEED = 9.0
+VIS_COS = 0.5           # ±60° seeker facing cone
+
+RIGID_BODY = papi.RIGID_BODY
+
+
+def _yaw_quat(yaw):
+    half = 0.5 * yaw
+    z = jnp.zeros_like(yaw)
+    return jnp.stack([jnp.cos(half), z, z, jnp.sin(half)], axis=-1)
+
+
+def _quat_yaw(q):
+    return 2.0 * jnp.arctan2(q[..., 3], q[..., 0])
+
+
+def _make_objects():
+    reg = bodies.ObjectRegistry()
+    ids = {}
+    ids["plane"] = reg.add_plane(mu_s=1.0, mu_d=0.8)
+    ids["wall"] = reg.add_box(
+        [1.0, 1.0, 1.0], mass=0.0, response=bodies.RESPONSE_STATIC
+    )
+    ids["box"] = reg.add_box([BOX_HALF] * 3, mass=1.2, mu_s=0.8, mu_d=0.6)
+    from ..physics import geo
+    he = np.asarray(AGENT_HALF, np.float32)
+    izz = ((2 * he[0]) ** 2 + (2 * he[1]) ** 2) / 12.0
+    ids["agent"] = reg.add_hull(
+        geo.box_hull(he), mass=1.0, mu_s=0.4, mu_d=0.3,
+        inertia_diag=np.array([np.inf, np.inf, izz], np.float32),
+    )
+    return reg.build(), ids
+
+
+def _make_meshes():
+    reg = MeshRegistry()
+    ids = {}
+    ids["plane"] = reg.add_quad(ARENA * 2, color=(0.45, 0.45, 0.45))
+    ids["wall"] = reg.add_box([1.0, 1.0, 1.0], color=(0.6, 0.6, 0.2))
+    ids["box"] = reg.add_box([BOX_HALF] * 3, color=(0.55, 0.3, 0.1))
+    ids["hider"] = reg.add_box(AGENT_HALF, color=(0.1, 0.4, 0.9))
+    ids["seeker"] = reg.add_box(AGENT_HALF, color=(0.9, 0.15, 0.1))
+    return reg.build(), ids
+
+
+class HideSeek(EnvBase):
+    name = "hide_seek"
+    num_agents = N_AGENTS
+    action_is_discrete = True
+    action_shape = (N_AGENTS, 5)
+    action_buckets = (4, 8, 5, 2, 2)
+
+    def __init__(self, render_size: int = 32, pixels: bool = True):
+        self.om, self.obj = _make_objects()
+        self.mesh, self.mobj = _make_meshes()
+        self.pixels = pixels
+        self.cfg = PhysicsConfig(dt=DT, substeps=SUBSTEPS)
+        self.caps = bp.CandidateCaps(hull_hull=28, hull_plane=8, sphere_any=1)
+        self.rcfg = RenderConfig(
+            width=render_size, height=render_size, fov_deg=90.0,
+            t_max=4 * ARENA,
+        )
+        render_obj = (
+            [self.mobj["plane"], *( [self.mobj["wall"]] * 4 ),
+             *( [self.mobj["box"]] * N_BOXES ),
+             *( [self.mobj["hider"]] * N_HIDERS ),
+             *( [self.mobj["seeker"]] * N_SEEKERS )]
+        )
+        self.rsys = RenderingSystem(
+            self.mesh, self.rcfg, RIGID_BODY, render_obj,
+            camera_rows=list(range(ROW_AGENT0, ROW_AGENT0 + N_AGENTS)),
+            camera_offset=(0.0, 0.3, 0.6),
+        )
+
+    @staticmethod
+    def random_actions(rs, steps, num_worlds):
+        cols = [
+            rs.randint(0, hi, (steps, num_worlds, N_AGENTS))
+            for hi in HideSeek.action_buckets
+        ]
+        return jnp.asarray(np.stack(cols, axis=-1), jnp.int32)
+
+    # ------------------------------------------------------------ registry
+
+    def register_types(self, reg: ECSRegistry):
+        papi.register_types(reg, max_bodies=N_BODIES)
+        papi.register_joint_types(reg, max_joints=N_AGENTS)
+        sm = reg._sm
+        sm.archetypes[RIGID_BODY] = dataclasses.replace(
+            sm.archetypes[RIGID_BODY], fixed_rows=True
+        )
+        reg.register_singleton("Action", (N_AGENTS, 5), jnp.int32)
+        reg.register_singleton("Reward", (N_AGENTS,), jnp.float32)
+        reg.register_singleton("Done", (), jnp.int32)
+        reg.register_singleton("Reset", (), jnp.int32)
+        reg.register_singleton("EpisodeStep", (), jnp.int32)
+        reg.register_singleton("Grabbed", (N_AGENTS,), jnp.int32)
+        reg.register_singleton("Locked", (N_BOXES,), jnp.int32)
+        reg.register_singleton("SelfObs", (N_AGENTS, 10), jnp.float32)
+        reg.register_singleton("Visible", (N_SEEKERS, N_HIDERS), jnp.int32)
+
+        reg.import_singleton("Action", "action")
+        reg.import_singleton("Reset", "reset")
+        reg.export_singleton("SelfObs", "self_obs")
+        reg.export_singleton("Reward", "reward")
+        reg.export_singleton("Done", "done")
+        reg.export_singleton("Visible", "visible")
+        if self.pixels:
+            self.rsys.register_types(reg)
+
+    def setup_tasks(self, b: TaskGraphBuilder):
+        n_reset = b.custom(self._reset_system, name="hs_reset")
+        n_act = b.custom(self._action_system, deps=[n_reset], name="hs_actions")
+        n_phys = papi.setup_physics_step_tasks(
+            b, self.om, self.cfg, self.caps, deps=[n_act]
+        )
+        n_post = b.custom(self._post_system, deps=[n_phys], name="hs_post")
+        if self.pixels:
+            self.rsys.setup_tasks(b, deps=[n_post])
+
+    def init_worlds(self, sm, state):
+        singles = dict(state.singletons)
+        singles["Done"] = jnp.ones_like(singles["Done"])
+        return dataclasses.replace(state, singletons=singles)
+
+    # ------------------------------------------------------------- systems
+
+    def _reset_system(self, sm, state, node_key):
+        s = dict(state.singletons)
+        need = (s["Done"] > 0) | (s["Reset"] > 0)
+        w = need.shape[0]
+
+        draws = []
+        for i in range(2 * N_BOXES + 2 * N_HIDERS + N_AGENTS):
+            k = _rng.split_i(node_key, jnp.full((w,), i, jnp.uint32))
+            draws.append(_rng.sample_uniform(k))
+        di = iter(draws)
+        span = ARENA - 3.0
+
+        pos = jnp.zeros((w, N_BODIES, 3), jnp.float32)
+        scale = jnp.ones((w, N_BODIES, 3), jnp.float32)
+        # walls at x/y = ±ARENA
+        wall_cfg = [
+            ((-ARENA - 1, 0), (1.0, ARENA + 2)),
+            ((ARENA + 1, 0), (1.0, ARENA + 2)),
+            ((0, -ARENA - 1), (ARENA + 2, 1.0)),
+            ((0, ARENA + 1), (ARENA + 2, 1.0)),
+        ]
+        for i, ((cx, cy), (sx, sy)) in enumerate(wall_cfg):
+            pos = pos.at[:, ROW_WALL0 + i].set(
+                jnp.array([cx, cy, WALL_H / 2])
+            )
+            scale = scale.at[:, ROW_WALL0 + i].set(
+                jnp.array([sx, sy, WALL_H / 2])
+            )
+        for i in range(N_BOXES):
+            bx = next(di) * 2 * span - span
+            by = next(di) * 2 * span - span
+            pos = pos.at[:, ROW_BOX0 + i].set(
+                jnp.stack([bx, by, jnp.full_like(bx, BOX_HALF)], axis=-1)
+            )
+        # hiders random; seekers in the corner
+        yaw = jnp.zeros((w, N_AGENTS), jnp.float32)
+        for a in range(N_HIDERS):
+            ax = next(di) * 2 * span - span
+            ay = next(di) * 2 * span - span
+            pos = pos.at[:, ROW_AGENT0 + a].set(
+                jnp.stack([ax, ay, jnp.full_like(ax, AGENT_Z)], axis=-1)
+            )
+        for a in range(N_SEEKERS):
+            pos = pos.at[:, ROW_AGENT0 + N_HIDERS + a].set(
+                jnp.array([-ARENA + 2.0 + 2 * a, -ARENA + 2.0, AGENT_Z])
+            )
+        for a in range(N_AGENTS):
+            yaw = yaw.at[:, a].set(next(di) * 2 * jnp.pi)
+        rot = jnp.zeros((w, N_BODIES, 4), jnp.float32).at[..., 0].set(1.0)
+        rot = rot.at[:, ROW_AGENT0:].set(_yaw_quat(yaw))
+
+        obj_row = jnp.asarray(
+            [self.obj["plane"]] + [self.obj["wall"]] * 4
+            + [self.obj["box"]] * N_BOXES + [self.obj["agent"]] * N_AGENTS,
+            jnp.int32,
+        )
+        resp_row = jnp.asarray(
+            [bodies.RESPONSE_STATIC] * 5
+            + [bodies.RESPONSE_DYNAMIC] * (N_BOXES + N_AGENTS),
+            jnp.int32,
+        )
+
+        t = state.tables[RIGID_BODY]
+        c = dict(t.columns)
+        zeros3 = jnp.zeros((w, N_BODIES, 3), jnp.float32)
+
+        def pick(new, old):
+            sel = need.reshape((w,) + (1,) * (old.ndim - 1))
+            return jnp.where(sel, jnp.asarray(new, old.dtype), old)
+
+        c["Position"] = pick(pos, c["Position"])
+        c["Rotation"] = pick(rot, c["Rotation"])
+        c["Scale"] = pick(scale, c["Scale"])
+        c["ObjectID"] = pick(
+            jnp.broadcast_to(obj_row[None], (w, N_BODIES)), c["ObjectID"]
+        )
+        c["ResponseType"] = pick(
+            jnp.broadcast_to(resp_row[None], (w, N_BODIES)),
+            c["ResponseType"],
+        )
+        c["Velocity"] = {
+            "linear": pick(zeros3, c["Velocity"]["linear"]),
+            "angular": pick(zeros3, c["Velocity"]["angular"]),
+        }
+        c["ExternalForce"] = pick(zeros3, c["ExternalForce"])
+        c["ExternalTorque"] = pick(zeros3, c["ExternalTorque"])
+        tables = dict(state.tables)
+        tables[RIGID_BODY] = dataclasses.replace(t, columns=c)
+
+        singles = dict(s)
+        singles["EpisodeStep"] = jnp.where(need, 0, s["EpisodeStep"])
+        singles["Grabbed"] = jnp.where(need[:, None], -1, s["Grabbed"])
+        singles["Locked"] = jnp.where(need[:, None], 0, s["Locked"])
+        jb = dict(s[papi.JOINT_BUFFER])
+        jb["active"] = jnp.where(need[:, None], False, jb["active"])
+        singles[papi.JOINT_BUFFER] = jb
+        return dataclasses.replace(state, tables=tables, singletons=singles)
+
+    def _action_system(self, sm, state, node_key):
+        s = dict(state.singletons)
+        act = s["Action"]                            # [W, A, 5]
+        t = state.tables[RIGID_BODY]
+        pos = t.columns["Position"]
+        rotq = t.columns["Rotation"]
+        w = act.shape[0]
+        widx = jnp.arange(w)
+
+        # prep phase: seekers frozen
+        in_prep = s["EpisodeStep"] < PREP_STEPS
+        agent_on = jnp.concatenate(
+            [
+                jnp.ones((w, N_HIDERS), bool),
+                jnp.broadcast_to((~in_prep)[:, None], (w, N_SEEKERS)),
+            ],
+            axis=1,
+        )
+
+        a_pos = pos[:, ROW_AGENT0:]
+        a_rot = rotq[:, ROW_AGENT0:]
+        yaw = _quat_yaw(a_rot)
+        move_amount = act[..., 0].astype(jnp.float32) / 3.0 * agent_on
+        move_angle = act[..., 1].astype(jnp.float32) * (jnp.pi / 4.0)
+        turn = (act[..., 2].astype(jnp.float32) - 2.0) / 2.0 * agent_on
+        grab = (act[..., 3] > 0) & agent_on
+        lock = (act[..., 4] > 0) & agent_on
+
+        ang = yaw + move_angle
+        f = MOVE_FORCE * move_amount
+        force = jnp.stack(
+            [-f * jnp.sin(ang), f * jnp.cos(ang), jnp.zeros_like(f)], axis=-1
+        )
+        ext_f = t.columns["ExternalForce"].at[:, ROW_AGENT0:].set(force)
+        omega = t.columns["Velocity"]["angular"].at[:, ROW_AGENT0:].set(
+            jnp.stack(
+                [jnp.zeros_like(turn), jnp.zeros_like(turn),
+                 TURN_SPEED * turn], axis=-1,
+            )
+        )
+
+        # nearest box in front (shared grab/lock targeting)
+        box_pos = pos[:, ROW_BOX0:ROW_BOX0 + N_BOXES]
+        fwd = jnp.stack(
+            [-jnp.sin(yaw), jnp.cos(yaw), jnp.zeros_like(yaw)], axis=-1
+        )
+        hand = a_pos + fwd * 0.8
+        d2 = jnp.sum(
+            (box_pos[:, None, :, :] - hand[:, :, None, :]) ** 2, axis=-1
+        )  # [W, A, B]
+        nearest = jnp.argmin(d2, axis=-1)
+        near_ok = jnp.take_along_axis(d2, nearest[..., None], -1)[..., 0] <= GRAB_RANGE**2
+
+        # ---- lock toggle (one agent per box per step; lowest agent wins)
+        locked = s["Locked"]
+        want_lock = lock & near_ok
+        for a in range(N_AGENTS):
+            tgt = nearest[:, a]
+            do = want_lock[:, a]
+            cur = locked[widx, tgt]
+            locked = locked.at[widx, tgt].set(
+                jnp.where(do, 1 - cur, cur)
+            )
+            # only the first locker acts on a box this step
+            same = want_lock & (nearest == tgt[:, None])
+            later = jnp.arange(N_AGENTS)[None, :] > a
+            want_lock = want_lock & ~(same & later & do[:, None])
+        resp = t.columns["ResponseType"]
+        box_resp = jnp.where(
+            locked > 0, bodies.RESPONSE_STATIC, bodies.RESPONSE_DYNAMIC
+        )
+        resp = resp.at[:, ROW_BOX0:ROW_BOX0 + N_BOXES].set(box_resp)
+
+        # ---- grab joints (locked boxes not grabbable)
+        grabbed = s["Grabbed"]
+        held_any = jnp.any(
+            grabbed[:, :, None]
+            == (ROW_BOX0 + jnp.arange(N_BOXES))[None, None, :], axis=1
+        )
+        d2m = jnp.where(held_any[:, None, :], jnp.inf, d2)
+        nearest_g = jnp.argmin(d2m, axis=-1)
+        ok_g = (
+            jnp.take_along_axis(d2m, nearest_g[..., None], -1)[..., 0]
+            <= GRAB_RANGE**2
+        ) & ~(locked[widx[:, None], nearest_g] > 0)
+        want_new = grab & (grabbed < 0) & ok_g
+        # sequential claim: earlier agents win contested boxes
+        for a in range(N_AGENTS):
+            same = want_new & (nearest_g == nearest_g[:, a][:, None])
+            later = jnp.arange(N_AGENTS)[None, :] > a
+            want_new = want_new & ~(same & later & want_new[:, a][:, None])
+        new_grabbed = jnp.where(
+            want_new, ROW_BOX0 + nearest_g, jnp.where(grab, grabbed, -1)
+        )
+
+        jb = papi.joints_view(state)
+        for a in range(N_AGENTS):
+            row = new_grabbed[:, a]
+            on = row >= 0
+            srow = jnp.clip(row, 0, N_BODIES - 1)
+            q1 = a_rot[:, a]
+            q2 = rotq[widx, srow]
+            x1 = a_pos[:, a]
+            x2 = pos[widx, srow]
+            aq1 = m3.quat_normalize(m3.quat_mul(m3.quat_inv(q1), q2))
+            aq2 = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (w, 4))
+            mid = 0.5 * (x1 + x2)
+            r1 = m3.quat_rotate(m3.quat_inv(q1), mid - x1)
+            r2 = m3.quat_rotate(m3.quat_inv(q2), mid - x2)
+            fresh = want_new[:, a]
+            keep = lambda new, old: jnp.where(
+                fresh.reshape((w,) + (1,) * (new.ndim - 1)), new, old
+            )
+            jb = dataclasses.replace(
+                jb,
+                e1=jb.e1.at[:, a].set(jnp.where(on, ROW_AGENT0 + a, -1)),
+                e2=jb.e2.at[:, a].set(jnp.where(on, srow, -1)),
+                jtype=jb.jtype.at[:, a].set(jt.JOINT_FIXED),
+                r1=jb.r1.at[:, a].set(keep(r1, jb.r1[:, a])),
+                r2=jb.r2.at[:, a].set(keep(r2, jb.r2[:, a])),
+                attach_q1=jb.attach_q1.at[:, a].set(
+                    keep(aq1, jb.attach_q1[:, a])
+                ),
+                attach_q2=jb.attach_q2.at[:, a].set(
+                    keep(aq2, jb.attach_q2[:, a])
+                ),
+                active=jb.active.at[:, a].set(on),
+            )
+        state = papi.write_joints(state, jb)
+
+        tables = dict(state.tables)
+        cols = dict(t.columns)
+        cols["ExternalForce"] = ext_f
+        cols["ResponseType"] = resp
+        cols["Velocity"] = {
+            "linear": t.columns["Velocity"]["linear"], "angular": omega,
+        }
+        tables[RIGID_BODY] = dataclasses.replace(
+            state.tables[RIGID_BODY], columns=cols
+        )
+        singles = dict(state.singletons)
+        singles["Grabbed"] = new_grabbed
+        singles["Locked"] = locked
+        return dataclasses.replace(state, tables=tables, singletons=singles)
+
+    def _post_system(self, sm, state, node_key):
+        s = dict(state.singletons)
+        t = state.tables[RIGID_BODY]
+        pos = t.columns["Position"]
+        rotq = t.columns["Rotation"]
+        vel = t.columns["Velocity"]["linear"]
+        w = pos.shape[0]
+
+        a_sl = slice(ROW_AGENT0, ROW_AGENT0 + N_AGENTS)
+        a_vel = vel[:, a_sl]
+        speed = jnp.linalg.norm(a_vel[..., :2], axis=-1, keepdims=True)
+        a_vel = a_vel.at[..., :2].multiply(
+            jnp.minimum(1.0, MAX_SPEED / jnp.maximum(speed, 1e-6))
+        )
+        vel = vel.at[:, a_sl].set(a_vel)
+
+        a_pos = pos[:, a_sl]
+        a_rot = rotq[:, a_sl]
+        yaw = _quat_yaw(a_rot)
+
+        # ---- visibility: seeker -> hider LOS + facing cone
+        seeker_pos = a_pos[:, N_HIDERS:]
+        seeker_yaw = yaw[:, N_HIDERS:]
+        hider_pos = a_pos[:, :N_HIDERS]
+        to_h = hider_pos[:, None, :, :] - seeker_pos[:, :, None, :]
+        dist = jnp.linalg.norm(to_h, axis=-1)
+        dir_ = to_h / jnp.maximum(dist[..., None], 1e-6)
+        fwd = jnp.stack(
+            [-jnp.sin(seeker_yaw), jnp.cos(seeker_yaw),
+             jnp.zeros_like(seeker_yaw)], axis=-1,
+        )
+        in_cone = jnp.sum(
+            dir_ * fwd[:, :, None, :], axis=-1
+        ) > VIS_COS
+
+        # occlusion rays vs boxes + walls (not floor/agents)
+        occ_rows = jnp.arange(ROW_WALL0, ROW_BOX0 + N_BOXES)
+        inst_obj = jnp.broadcast_to(
+            jnp.asarray(
+                [self.mobj["wall"]] * 4 + [self.mobj["box"]] * N_BOXES,
+                jnp.int32,
+            )[None],
+            (w, 4 + N_BOXES),
+        )
+        inst_mask = jnp.ones((w, 4 + N_BOXES), bool)
+
+        def per_world(ip, ir, isc, io, im, origins, dirs, dists):
+            _, depth = _trace_rays(
+                self.rcfg, self.mesh, ip, ir, isc, io, im, origins, dirs
+            )
+            return depth > dists - 0.5   # nothing closer than the hider
+
+        clear = jax.vmap(per_world)(
+            pos[:, occ_rows], rotq[:, occ_rows],
+            t.columns["Scale"][:, occ_rows], inst_obj, inst_mask,
+            (seeker_pos[:, :, None, :] + 0 * to_h).reshape(w, -1, 3),
+            dir_.reshape(w, -1, 3),
+            dist.reshape(w, -1),
+        ).reshape(w, N_SEEKERS, N_HIDERS)
+        visible = in_cone & clear                      # [W, S, H]
+
+        in_prep = s["EpisodeStep"] < PREP_STEPS
+        any_seen = jnp.any(visible, axis=(1, 2))
+        hider_r = jnp.where(any_seen, -1.0, 1.0)
+        seeker_r = -hider_r
+        reward = jnp.concatenate(
+            [
+                jnp.broadcast_to(hider_r[:, None], (w, N_HIDERS)),
+                jnp.broadcast_to(seeker_r[:, None], (w, N_SEEKERS)),
+            ],
+            axis=1,
+        )
+        reward = jnp.where(in_prep[:, None], 0.0, reward)
+
+        grabbed = s["Grabbed"]
+        self_obs = jnp.concatenate(
+            [
+                a_pos / ARENA,
+                jnp.sin(yaw)[..., None], jnp.cos(yaw)[..., None],
+                a_vel / MAX_SPEED,
+                (grabbed >= 0).astype(jnp.float32)[..., None],
+                jnp.broadcast_to(
+                    in_prep.astype(jnp.float32)[:, None, None],
+                    (w, N_AGENTS, 1),
+                ),
+            ],
+            axis=-1,
+        )
+
+        ep = s["EpisodeStep"] + 1
+        tables = dict(state.tables)
+        cols = dict(t.columns)
+        cols["Velocity"] = {
+            "linear": vel, "angular": t.columns["Velocity"]["angular"]
+        }
+        tables[RIGID_BODY] = dataclasses.replace(t, columns=cols)
+        singles = dict(s)
+        singles["SelfObs"] = self_obs
+        singles["Visible"] = visible.astype(jnp.int32)
+        singles["Reward"] = reward
+        singles["EpisodeStep"] = ep
+        singles["Done"] = (ep >= EPISODE_LEN).astype(jnp.int32)
+        return dataclasses.replace(state, tables=tables, singletons=singles)

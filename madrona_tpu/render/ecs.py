@@ -1,0 +1,93 @@
+"""RenderingSystem: ECS glue that mirrors sim state into render inputs.
+
+TPU-native equivalent of the reference render ECS
+(``src/render/ecs_system.cpp:486-600``, ``include/madrona/render/ecs.hpp:
+153-218``): the reference maintains InstanceData / PerspectiveCameraData
+SoA archetypes sorted by (MortonCode, WorldID) for the downstream
+renderer. Here instances are *views* of the RigidBody table columns (the
+sort exists to give the GPU renderer coherent memory access; the dense
+[W, I] layout already is coherent), and cameras are derived from agent
+body rows each step by a taskgraph node.
+
+Usage: ``RenderingSystem.register_types`` + ``setup_tasks(deps=[...])``
+after the physics node; the render node writes the RGBD outputs into
+exported singletons.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..core.registry import ECSRegistry
+from ..core.state import SimState, StateManager
+from ..graph.builder import TaskGraphBuilder
+from ..utils import math3d as m3
+from .mesh import MeshTables
+from .raycast import RenderConfig, render_views
+
+
+class RenderingSystem:
+    """Per-env renderer wiring (reference RenderingSystem::registerTypes /
+    setupTasks / attachEntityToView)."""
+
+    def __init__(
+        self,
+        mesh: MeshTables,
+        cfg: RenderConfig,
+        body_arch: str,
+        render_obj_of_body,         # [N] int: render object per body row
+        camera_rows: Sequence[int],  # body rows that carry a camera
+        camera_offset=(0.0, 0.0, 0.0),
+        body_mask=None,              # [N] bool: rows that render
+    ):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.body_arch = body_arch
+        self.render_obj = jnp.asarray(render_obj_of_body, jnp.int32)
+        self.camera_rows = tuple(camera_rows)
+        self.camera_offset = jnp.asarray(camera_offset, jnp.float32)
+        n = self.render_obj.shape[0]
+        self.body_mask = (
+            jnp.ones((n,), bool) if body_mask is None
+            else jnp.asarray(body_mask, bool)
+        )
+
+    def register_types(self, reg: ECSRegistry):
+        v = len(self.camera_rows)
+        h, w = self.cfg.height, self.cfg.width
+        reg.register_singleton("RGBOut", (v, h, w, 3), jnp.float32)
+        reg.register_singleton("DepthOut", (v, h, w), jnp.float32)
+        reg.export_singleton("RGBOut", "rgb")
+        reg.export_singleton("DepthOut", "depth")
+
+    def setup_tasks(self, b: TaskGraphBuilder, deps=()):
+        return b.custom(self._render_node, deps=deps, name="render_views")
+
+    # ------------------------------------------------------------- node
+
+    def _render_node(self, sm: StateManager, state: SimState, node_key):
+        t = state.tables[self.body_arch]
+        pos = t.columns["Position"]               # [W, N, 3]
+        rot = t.columns["Rotation"]
+        scale = t.columns["Scale"]
+        w = pos.shape[0]
+
+        cam_rows = jnp.asarray(self.camera_rows)
+        cam_pos = pos[:, cam_rows] + m3.quat_rotate(
+            rot[:, cam_rows], self.camera_offset[None, None, :]
+        )
+        cam_rot = rot[:, cam_rows]
+
+        inst_mask = jnp.broadcast_to(self.body_mask[None, :], pos.shape[:2])
+        inst_obj = jnp.broadcast_to(self.render_obj[None, :], pos.shape[:2])
+        rgb, depth = render_views(
+            self.cfg, self.mesh, pos, rot, scale, inst_obj, inst_mask,
+            cam_pos, cam_rot,
+        )
+        singles = dict(state.singletons)
+        singles["RGBOut"] = rgb
+        singles["DepthOut"] = depth
+        return dataclasses.replace(state, singletons=singles)

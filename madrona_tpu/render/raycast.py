@@ -1,0 +1,187 @@
+"""Batch raycaster: per-agent RGBD views of every world, pure JAX.
+
+TPU-native equivalent of the reference's CUDA batch ray tracer
+(``src/mw/device/bvh_raycast.cpp:940-1029`` persistent raycast kernel +
+the LBVH TLAS build chain ``src/mw/device/bvh.cpp``). Design
+translation (SURVEY.md §7): divergent BVH traversal is TPU-hostile, so
+the tracer is a dense masked intersection sweep — every (world, view,
+pixel) ray tests every live instance's padded triangle set
+(Moller-Trumbore on scalar component planes), and the nearest hit wins
+by masked min-reduction. For the engine's low-poly batch-sim scenes
+(tens of instances x <=32 tris) this is a handful of fused VPU ops per
+ray; large scenes would add an instance-AABB prefilter / LBVH tier.
+
+Outputs match the reference's RGBD convention: float RGB in [0,1]
+(lambert-shaded albedo) + linear depth, background = sky color with
+depth = t_max.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import math3d as m3
+from .mesh import MeshTables
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 64
+    height: int = 64
+    fov_deg: float = 90.0
+    t_max: float = 200.0
+    sky_color: tuple = (0.1, 0.2, 0.4)
+    light_dir: tuple = (0.3, -0.3, -0.9)   # directional light (world)
+    ambient: float = 0.35
+
+
+def camera_rays(cfg: RenderConfig, cam_pos, cam_rot):
+    """Ray origins/dirs for one camera. cam_rot: world-from-camera quat;
+    camera looks along +y (the engine's forward), x right, z up —
+    matching the reference's view convention (render/ecs.hpp cameras
+    face the entity's rotation)."""
+    h, w = cfg.height, cfg.width
+    aspect = w / h
+    half = jnp.tan(jnp.deg2rad(cfg.fov_deg) * 0.5)
+    xs = (jnp.arange(w) + 0.5) / w * 2.0 - 1.0        # [-1, 1]
+    zs = 1.0 - (jnp.arange(h) + 0.5) / h * 2.0
+    px = jnp.broadcast_to(xs[None, :], (h, w)) * half * aspect
+    pz = jnp.broadcast_to(zs[:, None], (h, w)) * half
+    d_local = jnp.stack(
+        [px, jnp.ones_like(px), pz], axis=-1
+    )  # [h, w, 3] (+y forward)
+    d_world = m3.quat_rotate(cam_rot[None, None, :], d_local)
+    d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(cam_pos[None, None, :], (h, w, 3))
+    return o, d_world
+
+
+def _trace_rays(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
+                inst_obj, inst_mask, origins, dirs):
+    """Nearest-hit trace. origins/dirs: [R, 3] rays; instances: [I, ...].
+    Returns (rgb [R, 3], depth [R])."""
+    # move rays into each instance's local frame (component planes)
+    inv_q = m3.quat_inv(inst_rot)                     # [I, 4]
+    o_l = m3.quat_rotate(
+        inv_q[:, None, :], origins[None, :, :] - inst_pos[:, None, :]
+    ) / jnp.maximum(inst_scale[:, None, :], 1e-12)     # [I, R, 3]
+    d_l = m3.quat_rotate(inv_q[:, None, :], dirs[None, :, :]) / jnp.maximum(
+        inst_scale[:, None, :], 1e-12
+    )
+
+    # gather per-instance triangle tables via one-hot (tiny O)
+    oh = jax.nn.one_hot(inst_obj, mesh.tri_v0.shape[0])   # [I, O]
+    pick = lambda tbl: jnp.einsum(
+        "io,otk->itk", oh, tbl.reshape(tbl.shape[0], tbl.shape[1], -1),
+        preferred_element_type=jnp.float32,
+    ).reshape((oh.shape[0],) + tbl.shape[1:])
+    v0 = pick(mesh.tri_v0)                            # [I, T, 3]
+    e1 = pick(mesh.tri_e1)
+    e2 = pick(mesh.tri_e2)
+    col = pick(mesh.tri_color)
+    tmask = jnp.einsum(
+        "io,ot->it", oh, mesh.tri_mask.astype(jnp.float32)
+    ) > 0.5
+
+    # Moller-Trumbore, broadcast [I, T, R] on scalar planes
+    def comp(a):  # [., ., 3] -> 3 planes with trailing R axis
+        return a[..., 0:1], a[..., 1:2], a[..., 2:3]
+
+    ox, oy, oz = (o_l[:, None, :, 0], o_l[:, None, :, 1], o_l[:, None, :, 2])
+    dx, dy, dz = (d_l[:, None, :, 0], d_l[:, None, :, 1], d_l[:, None, :, 2])
+    v0x, v0y, v0z = comp(v0)
+    e1x, e1y, e1z = comp(e1)
+    e2x, e2y, e2z = comp(e2)
+
+    # p = d x e2   (explicit cross products; shapes broadcast to [I, T, R])
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # q = t x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+    hit = (
+        (jnp.abs(det) > 1e-9)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 1e-4) & (t < cfg.t_max)
+        & tmask[..., None]
+        & inst_mask[:, None, None]
+    )
+    t_hit = jnp.where(hit, t, cfg.t_max)
+
+    # nearest over (I, T)
+    r = origins.shape[0]
+    t_flat = t_hit.reshape(-1, r)
+    win = jnp.argmin(t_flat, axis=0)                  # [R]
+    depth = jnp.min(t_flat, axis=0)
+    oh_win = jax.nn.one_hot(win, t_flat.shape[0], dtype=jnp.float32)  # [R, IT]
+
+    # shading: lambert on the geometric normal
+    nx = (e1y * e2z - e1z * e2y)[..., 0]
+    ny = (e1z * e2x - e1x * e2z)[..., 0]
+    nz = (e1x * e2y - e1y * e2x)[..., 0]
+    # normals back to world (rotate, undo scale direction-style)
+    n_l = jnp.stack([nx, ny, nz], axis=-1)            # [I, T, 3]
+    n_w = m3.quat_rotate(
+        inst_rot[:, None, :],
+        n_l / jnp.maximum(inst_scale[:, None, :], 1e-12),
+    )
+    n_w = n_w / jnp.maximum(
+        jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12
+    )
+    light = -jnp.asarray(np.asarray(
+        np.array(cfg.light_dir) / np.linalg.norm(cfg.light_dir)
+    ), jnp.float32)
+    lam = jnp.abs(jnp.sum(n_w * light, axis=-1))      # [I, T]
+    shade = cfg.ambient + (1 - cfg.ambient) * lam
+    rgb_it = col * shade[..., None]                   # [I, T, 3]
+    rgb_flat = rgb_it.reshape(-1, 3)
+    rgb = jnp.einsum(
+        "rk,kc->rc", oh_win, rgb_flat, preferred_element_type=jnp.float32
+    )
+    sky = jnp.asarray(cfg.sky_color, jnp.float32)
+    missed = depth >= cfg.t_max
+    rgb = jnp.where(missed[:, None], sky[None, :], rgb)
+    return rgb, depth
+
+
+def render_views(cfg: RenderConfig, mesh: MeshTables, inst_pos, inst_rot,
+                 inst_scale, inst_obj, inst_mask, cam_pos, cam_rot):
+    """Render all camera views of all worlds.
+
+    instances: [W, I, ...]; cameras: [W, V, ...]. Returns
+    (rgb [W, V, H, Wpx, 3], depth [W, V, H, Wpx]).
+    """
+    h, w = cfg.height, cfg.width
+
+    def per_cam(ip, ir, isc, io, im, cp, cr):
+        o, d = camera_rays(cfg, cp, cr)
+        rgb, dep = _trace_rays(
+            cfg, mesh, ip, ir, isc, io, im,
+            o.reshape(-1, 3), d.reshape(-1, 3),
+        )
+        return rgb.reshape(h, w, 3), dep.reshape(h, w)
+
+    per_world = jax.vmap(
+        lambda ip, ir, isc, io, im, cps, crs: jax.vmap(
+            lambda cp, cr: per_cam(ip, ir, isc, io, im, cp, cr)
+        )(cps, crs)
+    )
+    return per_world(
+        inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+        cam_pos, cam_rot,
+    )

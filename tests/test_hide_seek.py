@@ -1,0 +1,150 @@
+"""Hide & Seek tests: visibility/occlusion, prep phase, locking, pixels."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madrona_tpu.models.base import make_sim
+from madrona_tpu.models import hide_seek as hs
+from madrona_tpu.models.hide_seek import HideSeek
+
+W = 2
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return make_sim(
+        HideSeek(render_size=16), num_worlds=W, seed=5, donate=False
+    )
+
+
+def zero_acts():
+    return {
+        "action": jnp.zeros((W, hs.N_AGENTS, 5), jnp.int32),
+        "reset": jnp.zeros((W,), jnp.int32),
+    }
+
+
+def set_positions(s, coords, yaws=None):
+    """coords: {row: (x, y)}; yaws: {agent_idx: yaw}."""
+    t = s.tables[hs.RIGID_BODY]
+    pos = t.columns["Position"]
+    rot = t.columns["Rotation"]
+    for row, (x, y) in coords.items():
+        z = hs.AGENT_Z if row >= hs.ROW_AGENT0 else hs.BOX_HALF
+        pos = pos.at[:, row].set(jnp.asarray([x, y, z]))
+    if yaws:
+        for a, yaw in yaws.items():
+            q = hs._yaw_quat(jnp.full((W,), yaw, jnp.float32))
+            rot = rot.at[:, hs.ROW_AGENT0 + a].set(q)
+    tables = dict(s.tables)
+    tables[hs.RIGID_BODY] = dataclasses.replace(
+        t, columns={**t.columns, "Position": pos, "Rotation": rot}
+    )
+    return dataclasses.replace(s, tables=tables)
+
+
+def past_prep(s):
+    singles = dict(s.singletons)
+    singles["EpisodeStep"] = jnp.full((W,), hs.PREP_STEPS + 1, jnp.int32)
+    return dataclasses.replace(s, singletons=singles)
+
+
+def test_visibility_and_occlusion(sim):
+    step = sim.step_fn()
+    s, _ = step(sim.state, zero_acts())
+    s = past_prep(s)
+    # seeker 0 at origin facing +y; hider 0 straight ahead; boxes far away
+    s = set_positions(
+        s,
+        {
+            hs.ROW_AGENT0 + hs.N_HIDERS: (0.0, 0.0),       # seeker 0
+            hs.ROW_AGENT0 + hs.N_HIDERS + 1: (-15.0, -15.0),
+            hs.ROW_AGENT0: (0.0, 8.0),                     # hider 0
+            hs.ROW_AGENT0 + 1: (15.0, -15.0),
+            hs.ROW_BOX0: (10.0, 10.0),
+            hs.ROW_BOX0 + 1: (-10.0, 10.0),
+            hs.ROW_BOX0 + 2: (-10.0, -10.0),
+        },
+        yaws={hs.N_HIDERS: 0.0},  # seeker 0 faces +y
+    )
+    s2, o = step(s, zero_acts())
+    vis = np.asarray(o["visible"])
+    assert (vis[:, 0, 0] == 1).all(), vis
+    # seekers saw a hider -> seekers positive reward, hiders negative
+    r = np.asarray(o["reward"])
+    assert (r[:, hs.N_HIDERS:] > 0).all() and (r[:, 0] < 0).all()
+
+    # now put a box directly between them -> occluded
+    s = set_positions(s, {hs.ROW_BOX0: (0.0, 4.0)})
+    _, o = step(s, zero_acts())
+    assert (np.asarray(o["visible"])[:, 0, 0] == 0).all()
+
+    # facing away -> out of cone
+    s = set_positions(
+        s, {hs.ROW_BOX0: (10.0, 10.0)}, yaws={hs.N_HIDERS: np.pi}
+    )
+    _, o = step(s, zero_acts())
+    assert (np.asarray(o["visible"])[:, 0, 0] == 0).all()
+
+
+def test_prep_phase_freezes_seekers(sim):
+    step = sim.step_fn()
+    s, _ = step(sim.state, zero_acts())
+    a = jnp.zeros((W, hs.N_AGENTS, 5), jnp.int32).at[..., 0].set(3)
+    pos0 = np.asarray(
+        s.tables[hs.RIGID_BODY].columns["Position"]
+    )[:, hs.ROW_AGENT0:].copy()
+    for _ in range(5):
+        s, o = step(s, {"action": a, "reset": jnp.zeros((W,), jnp.int32)})
+    pos1 = np.asarray(
+        s.tables[hs.RIGID_BODY].columns["Position"]
+    )[:, hs.ROW_AGENT0:]
+    moved = np.linalg.norm(pos1[..., :2] - pos0[..., :2], axis=-1)
+    assert (moved[:, :hs.N_HIDERS] > 0.2).all()          # hiders move
+    assert (moved[:, hs.N_HIDERS:] < 1e-3).all()          # seekers frozen
+    assert (np.asarray(o["reward"]) == 0).all()           # no reward in prep
+
+
+def test_lock_makes_box_static(sim):
+    step = sim.step_fn()
+    s, _ = step(sim.state, zero_acts())
+    s = past_prep(s)
+    # hider 0 in front of box 0, locks it
+    s = set_positions(
+        s,
+        {hs.ROW_AGENT0: (0.0, 0.0), hs.ROW_BOX0: (0.0, 1.6),
+         hs.ROW_BOX0 + 1: (12.0, 12.0), hs.ROW_BOX0 + 2: (-12.0, 12.0),
+         hs.ROW_AGENT0 + 1: (15, 15),
+         hs.ROW_AGENT0 + 2: (-15, -15), hs.ROW_AGENT0 + 3: (-15, 15)},
+        yaws={0: 0.0},
+    )
+    a = jnp.zeros((W, hs.N_AGENTS, 5), jnp.int32).at[:, 0, 4].set(1)
+    s, _ = step(s, {"action": a, "reset": jnp.zeros((W,), jnp.int32)})
+    assert (np.asarray(s.singletons["Locked"])[:, 0] == 1).all()
+    resp = np.asarray(
+        s.tables[hs.RIGID_BODY].columns["ResponseType"]
+    )[:, hs.ROW_BOX0]
+    assert (resp == 2).all()  # RESPONSE_STATIC
+    # push it: box must not move
+    box0 = np.asarray(
+        s.tables[hs.RIGID_BODY].columns["Position"]
+    )[:, hs.ROW_BOX0].copy()
+    push = jnp.zeros((W, hs.N_AGENTS, 5), jnp.int32).at[:, 0, 0].set(3)
+    for _ in range(8):
+        s, _ = step(s, {"action": push, "reset": jnp.zeros((W,), jnp.int32)})
+    box1 = np.asarray(
+        s.tables[hs.RIGID_BODY].columns["Position"]
+    )[:, hs.ROW_BOX0]
+    np.testing.assert_allclose(box1, box0, atol=1e-5)
+
+
+def test_pixels_deterministic(sim):
+    step = sim.step_fn()
+    s1, o1 = step(sim.state, zero_acts())
+    s2, o2 = step(sim.state, zero_acts())
+    np.testing.assert_array_equal(np.asarray(o1["rgb"]), np.asarray(o2["rgb"]))
+    assert np.asarray(o1["rgb"]).shape == (W, hs.N_AGENTS, 16, 16, 3)
+    assert np.isfinite(np.asarray(o1["depth"])).all()

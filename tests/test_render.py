@@ -1,0 +1,78 @@
+"""Raycaster tests: golden scenes with analytically known depth/color."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madrona_tpu.render import MeshRegistry, RenderConfig, render_views
+
+
+def make_scene():
+    reg = MeshRegistry()
+    box = reg.add_box([1.0, 1.0, 1.0], color=(1.0, 0.0, 0.0))
+    ground = reg.add_quad(100.0, color=(0.0, 1.0, 0.0))
+    return reg.build(), box, ground
+
+
+def test_center_ray_hits_box_at_exact_depth():
+    mesh, box, ground = make_scene()
+    cfg = RenderConfig(width=32, height=32, fov_deg=90.0)
+    W = 2
+    ident = jnp.array([1.0, 0, 0, 0])
+    # camera at origin looking +y; unit box centered at y=5 -> front face
+    # at y=4; ground at z=-2
+    inst_pos = jnp.asarray([[[0, 5.0, 0], [0, 0, -2.0]]] * W)
+    inst_rot = jnp.broadcast_to(ident, (W, 2, 4))
+    inst_scale = jnp.ones((W, 2, 3))
+    inst_obj = jnp.asarray([[box, ground]] * W)
+    inst_mask = jnp.ones((W, 2), bool)
+    cam_pos = jnp.zeros((W, 1, 3))
+    cam_rot = jnp.broadcast_to(ident, (W, 1, 4))
+
+    rgb, depth = jax.jit(
+        lambda *a: render_views(cfg, mesh, *a)
+    )(inst_pos, inst_rot, inst_scale, inst_obj, inst_mask, cam_pos, cam_rot)
+    assert rgb.shape == (W, 1, 32, 32, 3)
+    d_center = float(depth[0, 0, 16, 16])
+    np.testing.assert_allclose(d_center, 4.0, atol=0.05)
+    # center pixel is the red box (shaded)
+    c = np.asarray(rgb[0, 0, 16, 16])
+    assert c[0] > 0.2 and c[1] == 0.0 and c[2] == 0.0, c
+    # top rows: sky
+    np.testing.assert_allclose(
+        np.asarray(rgb[0, 0, 0, 0]), [0.1, 0.2, 0.4], atol=1e-6
+    )
+    # bottom rows look at the ground (green)
+    c_low = np.asarray(rgb[0, 0, 31, 16])
+    assert c_low[1] > 0.2 and c_low[0] == 0.0, c_low
+    # both worlds identical
+    np.testing.assert_array_equal(np.asarray(rgb[0]), np.asarray(rgb[1]))
+
+
+def test_instance_transforms_apply():
+    mesh, box, ground = make_scene()
+    cfg = RenderConfig(width=16, height=16)
+    ident = jnp.array([1.0, 0, 0, 0])
+    # scaled box (2x in z) centered at y=5, camera at origin
+    inst_pos = jnp.asarray([[[0, 5.0, 0]]])
+    inst_rot = jnp.broadcast_to(ident, (1, 1, 4))
+    inst_scale = jnp.asarray([[[1.0, 1.0, 2.0]]])
+    inst_obj = jnp.asarray([[box]])
+    inst_mask = jnp.ones((1, 1), bool)
+    cam_pos = jnp.asarray([[[0, 0, 2.5]]])  # above box top at z=2
+    cam_rot = jnp.broadcast_to(ident, (1, 1, 4))
+    rgb, depth = render_views(
+        cfg, mesh, inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+        cam_pos, cam_rot,
+    )
+    # camera at z=2.5 looking +y: center ray passes just above the
+    # box top (z=2) -> sky at center... center row hits nothing
+    assert float(depth[0, 0, 8, 8]) == cfg.t_max
+    # lower rows hit the scaled box
+    assert float(depth[0, 0, 14, 8]) < cfg.t_max
+    # masked instance disappears
+    rgb2, depth2 = render_views(
+        cfg, mesh, inst_pos, inst_rot, inst_scale, inst_obj,
+        jnp.zeros((1, 1), bool), cam_pos, cam_rot,
+    )
+    assert float(depth2[0, 0, 14, 8]) == cfg.t_max
