@@ -204,7 +204,10 @@ class TaskGraph:
             node_key = _rng.split_i(
                 step_key, jnp.full(step_key.shape[:-1], node_id, jnp.uint32)
             )
-            state = self._run_node(node, state, node_key)
+            # per-node annotation: surfaces in XProf timelines where the
+            # reference's device tracing ring logged node start/finish
+            with jax.named_scope(f"{self.name}.{node.name}"):
+                state = self._run_node(node, state, node_key)
         return dataclasses.replace(state, step=state.step + 1)
 
     # ------------------------------------------------------------- internals

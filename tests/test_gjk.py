@@ -1,0 +1,87 @@
+"""GJK tests: the reference's captured hard cases (tests/gjk.cpp:19-48)
+plus analytic distance checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madrona_tpu.physics import gjk
+
+
+def test_solve4_duplicate_point():
+    # tests/gjk.cpp Solve4SimplexDuplicatePoint
+    y = jnp.asarray([
+        [0.814353108, 0.195752025, -0.698764443],
+        [-0.784147143, 0.126484752, 0.701235533],
+        [-0.784147143, 0.126484752, -0.698764443],
+        [-0.784147143, 0.126484752, 0.701235533],
+    ], jnp.float32)
+    _, d3, _ = gjk.solve3(y[0], y[1], y[2])
+    _, d4, _ = gjk.solve4(y[0], y[1], y[2], y[3])
+    assert float(d4) - float(d3) <= 1e-5
+
+
+def test_solve4_around_origin():
+    # tests/gjk.cpp Solve4SimplexAroundOrigin
+    y = jnp.asarray([
+        [0.793287277, 2.86326122, -0.700307727],
+        [-0.794485092, -0.542466521, 0.699692249],
+        [0.80550468, -0.536717057, -0.700307727],
+        [-0.794485092, -0.542466521, -0.700307727],
+    ], jnp.float32)
+    v, d, _ = gjk.solve4(y[0], y[1], y[2], y[3])
+    assert abs(float(v[0])) < 1e-5
+    assert abs(float(v[1])) < 1e-5
+    assert abs(float(v[2])) < 1e-5
+    assert float(d) < 1e-5
+
+
+def _box_verts(half, center):
+    h = np.asarray(half, np.float32)
+    c = np.asarray(center, np.float32)
+    v = np.array(
+        [[sx*h[0], sy*h[1], sz*h[2]]
+         for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], np.float32
+    ) + c
+    return jnp.asarray(v), jnp.ones(8, bool)
+
+
+def test_point_to_hull_distance():
+    verts, mask = _box_verts([1, 1, 1], [3.0, 0, 0])
+    d2, v = jax.jit(
+        lambda: gjk.hull_closest_point_to_origin(verts, mask)
+    )()
+    np.testing.assert_allclose(float(d2), 4.0, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v), [2.0, 0, 0], atol=1e-3)
+
+
+def test_hull_hull_distance_separated_and_overlapping():
+    a_v, a_m = _box_verts([1, 1, 1], [0, 0, 0])
+    b_v, b_m = _box_verts([1, 1, 1], [5.0, 0, 0])
+    d2 = float(jax.jit(
+        lambda: gjk.hull_hull_distance2(a_v, a_m, b_v, b_m)
+    )())
+    np.testing.assert_allclose(d2, 9.0, rtol=1e-4)
+
+    # corner-to-corner diagonal separation
+    c_v, c_m = _box_verts([1, 1, 1], [3.0, 3.0, 0.0])
+    d2 = float(gjk.hull_hull_distance2(a_v, a_m, c_v, c_m))
+    np.testing.assert_allclose(d2, 2.0, rtol=1e-3)
+
+    # overlapping -> 0
+    o_v, o_m = _box_verts([1, 1, 1], [1.0, 0.5, 0.0])
+    d2 = float(gjk.hull_hull_distance2(a_v, a_m, o_v, o_m))
+    assert d2 <= 1e-6
+
+
+def test_batched_vmap():
+    a_v, a_m = _box_verts([1, 1, 1], [0, 0, 0])
+    offsets = jnp.asarray([[4.0, 0, 0], [0, 6.0, 0], [0.5, 0, 0]])
+
+    def dist(off):
+        return gjk.hull_hull_distance2(a_v, a_m, a_v + off[None, :], a_m)
+
+    d2 = jax.jit(jax.vmap(dist))(offsets)
+    np.testing.assert_allclose(
+        np.asarray(d2), [4.0, 16.0, 0.0], atol=1e-4
+    )
