@@ -1,0 +1,15 @@
+"""Viz: headless recorder + lightweight viewer.
+
+TPU-native equivalent of the reference viz layer (``src/viz/`` — GLFW/
+ImGui interactive viewer + ``viz::Recorder`` headless capture,
+``include/madrona/viz/viewer.hpp``, ``recorder.hpp``). SURVEY.md §7
+scopes the interactive Vulkan viewer out of the parity metric and calls
+for a headless substitute: the Recorder captures per-step state/RGBD
+trajectories; the Viewer renders top-down world schematics or saved
+camera frames to PNG (pure NumPy PPM/PNG writer — no display stack).
+"""
+
+from .recorder import Recorder
+from .viewer import render_topdown, save_png, save_frame_grid
+
+__all__ = ["Recorder", "render_topdown", "save_png", "save_frame_grid"]
