@@ -275,6 +275,28 @@ def make_physics_node(
         has_joints = JOINT_BUFFER in sm_.singletons
         jbuf = joints_view(state) if has_joints else None
 
+        if cfg.solver == "tgs":
+            from . import tgs as _tgs
+
+            tcfg = _tgs.TGSConfig()
+
+            def tgs_substep(body, _):
+                body = _tgs.substep(
+                    body, lambda b: _narrowphase_all(b, om, cands),
+                    om, h, gravity, tcfg,
+                )
+                return body, None
+
+            body, _ = jax.lax.scan(
+                tgs_substep, body, None, length=cfg.substeps
+            )
+            body = dataclasses.replace(
+                body,
+                ext_force=jnp.zeros_like(body.ext_force),
+                ext_torque=jnp.zeros_like(body.ext_torque),
+            )
+            return write_back(sm_, state, body)
+
         jacobi = cfg.solver == "jacobi"
 
         def substep(body, _):

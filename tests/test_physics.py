@@ -480,3 +480,68 @@ def test_hinge_joint_pendulum():
     np.testing.assert_allclose(
         np.asarray(out.pos[1, 1]), p, atol=1e-6
     )
+
+
+# --------------------------------------------------------------- TGS solver
+
+
+def test_tgs_box_settles_on_plane():
+    from madrona_tpu.physics import tgs as tgs_mod
+
+    om, ids = make_om()
+    body = make_world(
+        om,
+        [
+            dict(obj=ids["plane"], response=bodies.RESPONSE_STATIC),
+            dict(obj=ids["box"], pos=[0, 0, 1.0]),
+        ],
+    )
+    cfg = PhysicsConfig(dt=1 / 60, substeps=4)
+    caps = bp.CandidateCaps(hull_hull=8, hull_plane=8, sphere_any=8)
+    h = cfg.dt / cfg.substeps
+    g = jnp.asarray(cfg.gravity, jnp.float32)
+    tcfg = tgs_mod.TGSConfig()
+
+    @jax.jit
+    def step(b):
+        cands = bp.find_candidates(b, om, caps, cfg.dt)
+
+        def sub(b, _):
+            b = tgs_mod.substep(
+                b, lambda bb: api._narrowphase_all(bb, om, cands),
+                om, h, g, tcfg,
+            )
+            return b, None
+
+        b, _ = jax.lax.scan(sub, b, None, length=cfg.substeps)
+        return b
+
+    for _ in range(90):
+        body = step(body)
+    z = float(body.pos[0, 1, 2])
+    assert abs(z - 0.5) < 0.03, z         # resting on the plane
+    v = np.asarray(body.vel[0, 1])
+    assert np.linalg.norm(v) < 0.2, v     # settled
+    assert np.isfinite(np.asarray(body.pos)).all()
+
+
+def test_tgs_via_physics_config():
+    """solver='tgs' through the full env pipeline (escape-room class)."""
+    import dataclasses as dc
+
+    from madrona_tpu.models.base import make_sim
+    from madrona_tpu.models.escape_room import EscapeRoom
+
+    env = EscapeRoom()
+    env.cfg = dc.replace(env.cfg, solver="tgs")
+    sim = make_sim(env, num_worlds=2, seed=0, donate=False)
+    step = sim.step_fn()
+    s = sim.state
+    a = jnp.zeros((2, 2, 4), jnp.int32).at[..., 0].set(3).at[..., 2].set(2)
+    for _ in range(10):
+        s, o = step(s, {"action": a, "reset": jnp.zeros((2,), jnp.int32)})
+    pos = np.asarray(s.tables["RigidBody"].columns["Position"])
+    assert np.isfinite(pos).all()
+    # agents stay on the floor and moved forward
+    assert (pos[:, 19:, 2] > 0.4).all() and (pos[:, 19:, 2] < 1.2).all()
+    assert (pos[:, 19:, 1] > 1.6).all()
