@@ -340,11 +340,26 @@ class TaskGraph:
         return state
 
     def _run_compact(self, node: _Node, state: SimState):
-        # Dense-append invariant means live rows are already contiguous;
-        # compaction only matters after masked destruction, which routes
-        # through destroy_entities (ops.lifecycle) and compacts there. This
-        # node is therefore a structural no-op kept for API parity with
-        # CompactArchetypeNode.
+        """CompactArchetypeNode: stable live-first reorder. The dense-
+        append invariant plus destroy_entities (ops.lifecycle, which
+        compacts inline) keep tables contiguous already, so this is
+        normally an idempotent pass — kept executable for API parity."""
+        arch_name = node.payload["arch"]
+        spec = self.sm.archetypes[arch_name]
+        table = state.tables[arch_name]
+        cap = spec.capacity
+        live = _arch.row_mask(table, cap)
+        order = jnp.argsort(~live, axis=1, stable=True).astype(jnp.int32)
+        table = _arch.gather_rows(table, order)
+        tables = dict(state.tables)
+        tables[arch_name] = table
+        state = dataclasses.replace(state, tables=tables)
+        if not spec.no_entities:
+            store = _estore.update_rows(
+                state.entities, table.entity_id, table.entity_gen,
+                _arch.row_mask(table, cap),
+            )
+            state = dataclasses.replace(state, entities=store)
         return state
 
 
