@@ -257,6 +257,24 @@ def _narrowphase_all(
     )
 
 
+def _narrowphase_mixed_pallas(
+    body: BodyState, om: ObjectManager, cands: bp.Candidates
+) -> Contacts:
+    """Contacts with the hull-hull lane on the Pallas kernel and the
+    cheap hull-plane / sphere lanes on the XLA path."""
+    full = _narrowphase_all(body, om, cands)
+    ref, alt, points, num, normal = narrowphase_hh_pallas(body, om, cands)
+    p = cands.hh.shape[1]
+    return Contacts(
+        ref=full.ref.at[:, :p].set(ref),
+        alt=full.alt.at[:, :p].set(alt),
+        points=full.points.at[:, :p].set(points),
+        num=full.num.at[:, :p].set(num),
+        normal=full.normal.at[:, :p].set(normal),
+        lambda_n=full.lambda_n,
+    )
+
+
 def make_physics_node(
     sm: StateManager,
     om: ObjectManager,
@@ -268,6 +286,13 @@ def make_physics_node(
     caps = caps or bp.CandidateCaps()
     h = cfg.dt / cfg.substeps
     gravity = jnp.asarray(cfg.gravity, jnp.float32)
+
+    use_pallas = cfg.narrowphase == "pallas"
+
+    def narrow(body, cands):
+        if not use_pallas:
+            return _narrowphase_all(body, om, cands)
+        return _narrowphase_mixed_pallas(body, om, cands)
 
     def physics_step(sm_, state: SimState, node_key) -> SimState:
         body = body_state(sm_, state)
@@ -282,7 +307,7 @@ def make_physics_node(
 
             def tgs_substep(body, _):
                 body = _tgs.substep(
-                    body, lambda b: _narrowphase_all(b, om, cands),
+                    body, lambda b: narrow(b, cands),
                     om, h, gravity, tcfg,
                 )
                 return body, None
@@ -301,7 +326,7 @@ def make_physics_node(
 
         def substep(body, _):
             body = xpbd.integrate(body, om, h, gravity)
-            contacts = _narrowphase_all(body, om, cands)
+            contacts = narrow(body, cands)
             if jacobi:
                 body, contacts = xpbd.solve_positions_jacobi(
                     body, contacts, om, cfg.jacobi_iters
@@ -351,3 +376,31 @@ def setup_physics_step_tasks(
         deps=deps,
         name="physics_step",
     )
+
+
+def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256):
+    """Pallas-kernel hull-hull lane (ops/narrowphase_pallas): same
+    outputs as the hh segment of _narrowphase_all."""
+    from ..ops import narrowphase_pallas as npk
+
+    w, n = body.pos.shape[:2]
+    nb_t = jnp.moveaxis(
+        jnp.concatenate([body.pos, body.rot, body.scale], axis=-1), 0, -1
+    )  # [N, 10, W]
+    obj_t = jnp.moveaxis(body.obj_id.astype(jnp.float32), 0, -1)  # [N, W]
+    pairs_t = jnp.moveaxis(cands.hh, 0, -1)                       # [P, 2, W]
+    fn = npk.make_hh_narrowphase(
+        om.hull_dims, n, om.hull_pack.shape[0],
+        tile_w=min(tile_w, w), interpret=interpret,
+    )
+    rec = fn(nb_t, obj_t, pairs_t, om.hull_pack)     # [P, 22, W]
+    rec = jnp.moveaxis(rec, -1, 0)                   # [W, P, 22]
+    ref = rec[..., 0].astype(jnp.int32)
+    alt = rec[..., 1].astype(jnp.int32)
+    num = rec[..., 2].astype(jnp.int32)
+    normal = rec[..., 3:6]                           # [W, P, 3]
+    points = jnp.stack(
+        [rec[..., 6:10], rec[..., 10:14], rec[..., 14:18],
+         rec[..., 18:22]], axis=-1,
+    )                                                # [W, P, 4, 4]
+    return ref, alt, points, num, normal

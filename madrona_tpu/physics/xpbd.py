@@ -52,6 +52,10 @@ class PhysicsConfig:
     #   per-world iteration semantics exactly (the oracle mode).
     solver: str = "jacobi"
     jacobi_iters: int = 2           # position iterations per substep
+    # "pallas": hull-hull narrowphase runs as a VMEM-resident Pallas
+    # kernel (ops/narrowphase_pallas) — the megakernel tier; "xla" keeps
+    # the fused-ops path (CPU/debug, and the oracle for the kernel).
+    narrowphase: str = "xla"
 
 
 @jax.tree_util.register_dataclass
