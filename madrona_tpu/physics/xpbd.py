@@ -56,6 +56,11 @@ class PhysicsConfig:
     # kernel (ops/narrowphase_pallas) — the megakernel tier; "xla" keeps
     # the fused-ops path (CPU/debug, and the oracle for the kernel).
     narrowphase: str = "xla"
+    # True: contacts generated once per step at the first substep's
+    # predicted poses ("Small Steps in Physics Simulation" style) and
+    # reused across substeps; False matches the reference exactly
+    # (narrowphase per substep, xpbd.cpp:1098-1130).
+    narrowphase_once: bool = False
 
 
 @jax.tree_util.register_dataclass
