@@ -110,21 +110,28 @@ def find_candidates(
     )
 
     def compact(mask, cap):
-        """Pack (first, second) of masked pairs into [W, cap, 2]."""
+        """Pack (first, second) of masked pairs into [W, cap, 2].
+
+        One-hot matmul compaction: a scatter would materialize padded
+        [W, P]-indexed buffers (see xpbd.pack_bodies note); the einsum
+        runs on the MXU and emits the sentinel n for empty slots."""
         mi = mask.astype(jnp.int32)
         pos = jnp.cumsum(mi, axis=1) - mi
-        dest = jnp.where(mask & (pos < cap), pos, cap)
-        widx = jnp.broadcast_to(
-            jnp.arange(w)[:, None], mask.shape
-        )
-        buf = jnp.full((w, cap + 1, 2), n, jnp.int32)
+        dest = jnp.where(mask & (pos < cap), pos, -1)
+        oh = jax.nn.one_hot(dest, cap, dtype=jnp.float32)   # [W, P, cap]
         pair = jnp.stack(
             [jnp.broadcast_to(first, mask.shape),
              jnp.broadcast_to(second, mask.shape)], axis=-1
+        ).astype(jnp.float32)                               # [W, P, 2]
+        filled = jnp.einsum(
+            "wpc,wpk->wck", oh, pair, preferred_element_type=jnp.float32
         )
-        buf = buf.at[widx, dest].set(pair, mode="drop")
+        used = jnp.einsum("wpc->wc", oh) > 0.5              # [W, cap]
+        buf = jnp.where(
+            used[..., None], filled, jnp.float32(n)
+        ).astype(jnp.int32)
         count = jnp.minimum(jnp.sum(mi, axis=1), cap)
-        return buf[:, :cap], count
+        return buf, count
 
     hh, hh_num = compact(is_hh, caps.hull_hull)
     hp, hp_num = compact(is_hp, caps.hull_plane)
