@@ -38,6 +38,8 @@ from ..physics import api as papi
 from ..physics import bodies, broadphase as bp
 from ..physics import joints as jt
 from ..physics.xpbd import PhysicsConfig
+from ..render import MeshRegistry, RenderConfig
+from ..render.raycast import _trace_rays
 from ..utils import math3d as m3
 from ..utils import rng as _rng
 from .base import EnvBase
@@ -84,6 +86,7 @@ CUBE_Z = CUBE_HALF
 
 PROGRESS_REWARD = 0.05                  # per unit of new max-y progress
 STEP_PENALTY = 0.005
+LIDAR_RAYS = 30                         # reference env: 30-sample lidar ring
 
 RIGID_BODY = papi.RIGID_BODY
 
@@ -138,6 +141,13 @@ class EscapeRoom(EnvBase):
             narrowphase_once=True,
         )
         self.caps = bp.CandidateCaps(hull_hull=32, hull_plane=10, sphere_any=1)
+        # lidar scene: walls/doors/cubes/partner as unit-box meshes scaled
+        # by the body Scale column (rows 1..N-1; the floor plane is not a
+        # lidar target, matching the reference's horizontal ring)
+        mreg = MeshRegistry()
+        self._lidar_box = mreg.add_box([1.0, 1.0, 1.0])
+        self._lidar_mesh = mreg.build()
+        self._lidar_cfg = RenderConfig(t_max=HALL_LEN * 2.0)
 
     @staticmethod
     def random_actions(rs, steps, num_worlds):
@@ -178,6 +188,7 @@ class EscapeRoom(EnvBase):
             "EntityObs", (N_AGENTS, N_CUBES + N_BUTTONS, 4), jnp.float32
         )
         reg.register_singleton("DoorObs", (N_AGENTS, N_ROOMS, 4), jnp.float32)
+        reg.register_singleton("Lidar", (N_AGENTS, LIDAR_RAYS), jnp.float32)
 
         reg.import_singleton("Action", "action")
         reg.import_singleton("Reset", "reset")
@@ -185,6 +196,7 @@ class EscapeRoom(EnvBase):
         reg.export_singleton("PartnerObs", "partner_obs")
         reg.export_singleton("EntityObs", "entity_obs")
         reg.export_singleton("DoorObs", "door_obs")
+        reg.export_singleton("Lidar", "lidar")
         reg.export_singleton("Reward", "reward")
         reg.export_singleton("Done", "done")
         reg.export_singleton("EpisodeStep", "steps_taken")
@@ -641,6 +653,50 @@ class EscapeRoom(EnvBase):
              )], axis=-1
         )
 
+        # lidar: 30-ray horizontal ring per agent against all solid
+        # bodies (walls/doors/cubes/agents as scaled unit boxes; open
+        # doors sit below the ring so rays pass through) — the
+        # reference env's lidarSystem, via the batch raycaster
+        lidar_rows = jnp.arange(1, N_BODIES)      # skip the floor plane
+        inst_pos = pos[:, lidar_rows]
+        inst_rot = rotq[:, lidar_rows]
+        inst_scale = t.columns["Scale"][:, lidar_rows]
+        inst_obj = jnp.zeros((w, N_BODIES - 1), jnp.int32) + self._lidar_box
+        # cubes/agents are unit boxes scaled by Scale==1; use their true
+        # half extents
+        half = jnp.asarray(
+            [1.0] * (ROW_CUBE0 - 1) + [CUBE_HALF] * N_CUBES
+            + [1.0] * N_AGENTS, jnp.float32,
+        )
+        agent_he = jnp.asarray(AGENT_HALF, jnp.float32)
+        inst_scale = inst_scale * half[None, :, None]
+        inst_scale = inst_scale.at[:, -N_AGENTS:].set(agent_he[None, None, :])
+
+        ang = (
+            yaw[..., None]
+            + jnp.arange(LIDAR_RAYS) * (2 * jnp.pi / LIDAR_RAYS)
+        )  # [W, A, R]
+        dirs = jnp.stack(
+            [-jnp.sin(ang), jnp.cos(ang), jnp.zeros_like(ang)], axis=-1
+        ).reshape(w, -1, 3)
+        origins = jnp.broadcast_to(
+            a_pos[:, :, None, :], (w, N_AGENTS, LIDAR_RAYS, 3)
+        ).reshape(w, -1, 3)
+        def per_world(ip, ir, isc, io, origins_w, dirs_w):
+            _, depth = _trace_rays(
+                self._lidar_cfg, self._lidar_mesh, ip, ir, isc, io,
+                jnp.ones((N_BODIES - 1,), bool), origins_w, dirs_w,
+            )
+            return depth
+
+        # self-hits are excluded by nudging ray origins to the agent's
+        # surface along the ray (agent half extent ~0.4-0.8)
+        origins = origins + dirs * 0.85
+        depth = jax.vmap(per_world)(
+            inst_pos, inst_rot, inst_scale, inst_obj, origins, dirs
+        ).reshape(w, N_AGENTS, LIDAR_RAYS)
+        lidar = jnp.minimum(depth / HALL_LEN, 1.0)
+
         # reward: new max-y progress per agent, minus step penalty
         prev = state.singletons["Progress"]
         cur_y = a_pos[..., 1]
@@ -659,6 +715,7 @@ class EscapeRoom(EnvBase):
         singles["PartnerObs"] = partner_obs
         singles["EntityObs"] = entity_obs
         singles["DoorObs"] = door_obs
+        singles["Lidar"] = lidar
         singles["Progress"] = new_prog
         singles["Reward"] = reward
         singles["EpisodeStep"] = ep
