@@ -140,7 +140,10 @@ class EscapeRoom(EnvBase):
             # behavior covered by this env's test suite
             narrowphase_once=True,
         )
-        self.caps = bp.CandidateCaps(hull_hull=32, hull_plane=10, sphere_any=1)
+        # measured occupancy over random rollouts: max 3 hull-hull and 8
+        # hull-plane candidates; 12 gives 4x headroom (overflow drops
+        # contacts for a step — soft failure)
+        self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=8, sphere_any=1)
         # lidar scene: walls/doors/cubes/partner as unit-box meshes scaled
         # by the body Scale column (rows 1..N-1; the floor plane is not a
         # lidar target, matching the reference's horizontal ring)

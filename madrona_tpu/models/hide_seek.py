@@ -120,7 +120,7 @@ class HideSeek(EnvBase):
         self.cfg = PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, narrowphase_once=True,
         )
-        self.caps = bp.CandidateCaps(hull_hull=28, hull_plane=8, sphere_any=1)
+        self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=7, sphere_any=1)
         self.rcfg = RenderConfig(
             width=render_size, height=render_size, fov_deg=90.0,
             t_max=4 * ARENA,
