@@ -123,7 +123,7 @@ class HideSeek(EnvBase):
         self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=7, sphere_any=1)
         self.rcfg = RenderConfig(
             width=render_size, height=render_size, fov_deg=90.0,
-            t_max=4 * ARENA,
+            t_max=4 * ARENA, dtype="bfloat16",
         )
         render_obj = (
             [self.mobj["plane"], *( [self.mobj["wall"]] * 4 ),
@@ -479,9 +479,11 @@ class HideSeek(EnvBase):
         )
         inst_mask = jnp.ones((w, 4 + N_BOXES), bool)
 
+        los_cfg = dataclasses.replace(self.rcfg, dtype="float32")
+
         def per_world(ip, ir, isc, io, im, origins, dirs, dists):
             _, depth = _trace_rays(
-                self.rcfg, self.mesh, ip, ir, isc, io, im, origins, dirs
+                los_cfg, self.mesh, ip, ir, isc, io, im, origins, dirs
             )
             return depth > dists - 0.5   # nothing closer than the hider
 

@@ -37,6 +37,10 @@ class RenderConfig:
     sky_color: tuple = (0.1, 0.2, 0.4)
     light_dir: tuple = (0.3, -0.3, -0.9)   # directional light (world)
     ambient: float = 0.35
+    # "bfloat16" halves the tracer's bandwidth (the [I, T, R] test
+    # tensors dominate) at ~1% depth/uv error — plenty for small visual
+    # observations; keep "float32" for golden tests / LOS queries.
+    dtype: str = "float32"
 
 
 def camera_rays(cfg: RenderConfig, cam_pos, cam_rot):
@@ -64,6 +68,7 @@ def _trace_rays(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
                 inst_obj, inst_mask, origins, dirs):
     """Nearest-hit trace. origins/dirs: [R, 3] rays; instances: [I, ...].
     Returns (rgb [R, 3], depth [R])."""
+    ctype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     # move rays into each instance's local frame (component planes)
     inv_q = m3.quat_inv(inst_rot)                     # [I, 4]
     o_l = m3.quat_rotate(
@@ -79,9 +84,9 @@ def _trace_rays(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
         "io,otk->itk", oh, tbl.reshape(tbl.shape[0], tbl.shape[1], -1),
         preferred_element_type=jnp.float32,
     ).reshape((oh.shape[0],) + tbl.shape[1:])
-    v0 = pick(mesh.tri_v0)                            # [I, T, 3]
-    e1 = pick(mesh.tri_e1)
-    e2 = pick(mesh.tri_e2)
+    v0 = pick(mesh.tri_v0).astype(ctype)              # [I, T, 3]
+    e1 = pick(mesh.tri_e1).astype(ctype)
+    e2 = pick(mesh.tri_e2).astype(ctype)
     col = pick(mesh.tri_color)
     tmask = jnp.einsum(
         "io,ot->it", oh, mesh.tri_mask.astype(jnp.float32)
@@ -91,6 +96,8 @@ def _trace_rays(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
     def comp(a):  # [., ., 3] -> 3 planes with trailing R axis
         return a[..., 0:1], a[..., 1:2], a[..., 2:3]
 
+    o_l = o_l.astype(ctype)
+    d_l = d_l.astype(ctype)
     ox, oy, oz = (o_l[:, None, :, 0], o_l[:, None, :, 1], o_l[:, None, :, 2])
     dx, dy, dz = (d_l[:, None, :, 0], d_l[:, None, :, 1], d_l[:, None, :, 2])
     v0x, v0y, v0z = comp(v0)
@@ -114,14 +121,15 @@ def _trace_rays(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
     v = (dx * qx + dy * qy + dz * qz) * inv_det
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
+    eps_det = 1e-9 if ctype == jnp.float32 else 1e-5
     hit = (
-        (jnp.abs(det) > 1e-9)
+        (jnp.abs(det) > eps_det)
         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (t > 1e-4) & (t < cfg.t_max)
+        & (t > 1e-3) & (t < cfg.t_max)
         & tmask[..., None]
         & inst_mask[:, None, None]
     )
-    t_hit = jnp.where(hit, t, cfg.t_max)
+    t_hit = jnp.where(hit, t, ctype(cfg.t_max)).astype(jnp.float32)
 
     # nearest over (I, T)
     r = origins.shape[0]
