@@ -47,6 +47,17 @@ class ECSRegistry:
         )
         return self._sm.register_archetype(spec)
 
+    def register_bundle(self, name: str, components: Sequence[str]):
+        """A named component group expandable inside archetype component
+        lists (reference registerBundle, include/madrona/state.hpp:96-235;
+        e.g. the physics RigidBody bundle). Bundles may nest."""
+        return self._sm.register_bundle(name, components)
+
+    def register_bundle_alias(self, alias: str, bundle: str):
+        """registerBundleAlias: a second name for an existing bundle (the
+        reference uses it to swap solver-specific state bundles)."""
+        return self._sm.register_bundle_alias(alias, bundle)
+
     def register_singleton(
         self, name: str, shape=(), dtype=None, fields=None
     ) -> ComponentSpec:

@@ -49,6 +49,7 @@ class StateManager:
         self.components: Dict[str, ComponentSpec] = {}
         self.archetypes: Dict[str, ArchetypeSpec] = {}
         self.singletons: Dict[str, ComponentSpec] = {}
+        self.bundles: Dict[str, Tuple[str, ...]] = {}
         self.exports: Dict[str, Tuple[str, str]] = {}  # slot -> (arch, comp)
         self.singleton_exports: Dict[str, str] = {}    # slot -> singleton
         self.imports: Dict[str, Tuple[str, str]] = {}  # slot -> (arch, comp)
@@ -69,6 +70,9 @@ class StateManager:
         self._check_open()
         if spec.name in self.archetypes:
             raise ValueError(f"archetype {spec.name!r} already registered")
+        expanded = self._expand_bundles(spec.components, spec.name)
+        if expanded != spec.components:
+            spec = dataclasses.replace(spec, components=expanded)
         for cname in spec.components:
             if cname not in self.components:
                 raise ValueError(
@@ -78,6 +82,48 @@ class StateManager:
         self._arch_index[spec.name] = len(self.archetypes)
         self.archetypes[spec.name] = spec
         return spec
+
+    def register_bundle(self, name: str, components) -> Tuple[str, ...]:
+        """Named component group usable inside archetype component lists
+        (reference registerBundle/Bundle<>; bundles may nest)."""
+        self._check_open()
+        if name in self.bundles or name in self.components:
+            raise ValueError(f"bundle {name!r} collides with existing name")
+        expanded = self._expand_bundles(tuple(components), name)
+        for cname in expanded:
+            if cname not in self.components:
+                raise ValueError(
+                    f"bundle {name!r} references unregistered "
+                    f"component {cname!r}"
+                )
+        self.bundles[name] = expanded
+        return expanded
+
+    def register_bundle_alias(self, alias: str, bundle: str):
+        """registerBundleAlias equivalent."""
+        self._check_open()
+        if bundle not in self.bundles:
+            raise ValueError(f"bundle {bundle!r} not registered")
+        if alias in self.bundles or alias in self.components:
+            raise ValueError(f"alias {alias!r} collides with existing name")
+        self.bundles[alias] = self.bundles[bundle]
+        return self.bundles[alias]
+
+    def _expand_bundles(self, components, owner: str) -> Tuple[str, ...]:
+        out = []
+        for cname in components:
+            if cname in self.bundles:
+                out.extend(self.bundles[cname])
+            else:
+                out.append(cname)
+        # duplicates can arise from overlapping bundles
+        seen = set()
+        uniq = []
+        for c in out:
+            if c not in seen:
+                seen.add(c)
+                uniq.append(c)
+        return tuple(uniq)
 
     def register_singleton(self, spec: ComponentSpec) -> ComponentSpec:
         self._check_open()
