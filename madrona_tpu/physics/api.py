@@ -296,6 +296,10 @@ def make_physics_node(
 
     def physics_step(sm_, state: SimState, node_key) -> SimState:
         body = body_state(sm_, state)
+        # note: obj_params is intentionally NOT hoisted out of the substep
+        # loop — measured 5% slower when materialized once (XLA fuses the
+        # inline one-hot lookups into their consumers)
+        params = None
         cands = bp.find_candidates(body, om, caps, cfg.dt)
         has_joints = JOINT_BUFFER in sm_.singletons
         jbuf = joints_view(state) if has_joints else None
@@ -331,21 +335,24 @@ def make_physics_node(
             )
 
         def substep(body, _):
-            body = xpbd.integrate(body, om, h, gravity)
+            body = xpbd.integrate(body, om, h, gravity, params=params)
             contacts = (
                 frozen_contacts if frozen_contacts is not None
                 else narrow(body, cands)
             )
             if jacobi:
                 body, contacts = xpbd.solve_positions_jacobi(
-                    body, contacts, om, cfg.jacobi_iters
+                    body, contacts, om, cfg.jacobi_iters, params=params
                 )
                 if has_joints:
-                    body = _joints.solve_joints_jacobi(body, jbuf, om)
+                    body = _joints.solve_joints_jacobi(
+                        body, jbuf, om, params=params
+                    )
                 body = xpbd.set_velocities(body, h)
                 body = xpbd.solve_velocities_jacobi(
                     body, contacts, om, h,
                     cfg.restitution, cfg.restitution_threshold,
+                    params=params,
                 )
             else:
                 body, contacts = xpbd.solve_positions(body, contacts, om)

@@ -275,7 +275,8 @@ def solve_joints(body: BodyState, joints: Joints, om) -> BodyState:
     return jax.lax.fori_loop(0, jcap, step, body)
 
 
-def solve_joints_jacobi(body: BodyState, joints: Joints, om) -> BodyState:
+def solve_joints_jacobi(body: BodyState, joints: Joints, om,
+                        params=None) -> BodyState:
     """Vectorized joint solve: all slots at once against a body snapshot,
     averaged scatter (same per-joint math as solve_joints; Jacobi
     application order — see xpbd.py solver-mode note)."""
@@ -287,7 +288,7 @@ def solve_joints_jacobi(body: BodyState, joints: Joints, om) -> BodyState:
     jtp = joints.jtype
     r1, r2 = joints.r1, joints.r2
 
-    packed = pack_bodies(body, om)
+    packed = pack_bodies(body, om, params)
     b1 = _gather_packed(packed, e1)
     b2 = _gather_packed(packed, e2)
     x1, x2, q1, q2 = b1["x"], b2["x"], b1["q"], b2["q"]

@@ -100,12 +100,12 @@ class Contacts:
     lambda_n: jax.Array   # [W, C] accumulated normal impulse (position solve)
 
 
-def integrate(body: BodyState, om, h: float, gravity) -> BodyState:
+def integrate(body: BodyState, om, h: float, gravity, params=None) -> BodyState:
     """substepRigidBodies: save prev state, apply gravity/external force,
     integrate velocity -> position, gyroscopic omega update, quaternion
     integration (xpbd.cpp:98-185)."""
     g = jnp.asarray(gravity, jnp.float32)
-    params = om.obj_params(body.obj_id)
+    params = params if params is not None else om.obj_params(body.obj_id)
     inv_m = params["inv_m"]                       # [W, N]
     inv_i = params["inv_i"]                       # [W, N, 3]
     dynamic = body.response == RESPONSE_DYNAMIC
@@ -513,9 +513,11 @@ _PACK_SLOTS = (
 PACK_F = sum(d for _, d in _PACK_SLOTS)  # 39
 
 
-def pack_bodies(body: BodyState, om):
-    """[W, N, PACK_F] solver view of the body state."""
-    params = om.obj_params(body.obj_id)
+def pack_bodies(body: BodyState, om, params=None):
+    """[W, N, PACK_F] solver view of the body state. ``params`` lets the
+    caller hoist the one-hot object-param lookup out of the substep loop
+    (object ids never change mid-step)."""
+    params = params if params is not None else om.obj_params(body.obj_id)
     static = body.response == RESPONSE_STATIC
     inv_m = jnp.where(static, 0.0, params["inv_m"])
     inv_i = jnp.where(static[..., None], 0.0, params["inv_i"])
@@ -615,7 +617,7 @@ def _avg_contacts_batch(points, num):
 
 
 def solve_positions_jacobi(
-    body: BodyState, contacts: Contacts, om, iters: int = 2
+    body: BodyState, contacts: Contacts, om, iters: int = 2, params=None
 ):
     """Vectorized position solve: all contacts at once, averaged scatter.
 
@@ -631,7 +633,7 @@ def solve_positions_jacobi(
     n = body.pos.shape[1]
 
     for _ in range(iters):
-        packed = pack_bodies(body, om)
+        packed = pack_bodies(body, om, params)
         b1 = _gather_packed(packed, ref)
         b2 = _gather_packed(packed, alt)
         r1, r2 = _local_contacts(b1, b2, avg, max_pen, nrm)
@@ -659,7 +661,7 @@ def solve_positions_jacobi(
 
 def solve_velocities_jacobi(
     body: BodyState, contacts: Contacts, om, h: float,
-    restitution: float, restitution_threshold: float,
+    restitution: float, restitution_threshold: float, params=None,
 ) -> BodyState:
     """Vectorized velocity solve: restitution + dynamic friction for all
     contacts at once (same math as solve_velocities), averaged scatter."""
@@ -671,7 +673,7 @@ def solve_velocities_jacobi(
     lam_n = contacts.lambda_n
     n = body.pos.shape[1]
 
-    packed = pack_bodies(body, om)
+    packed = pack_bodies(body, om, params)
     b1 = _gather_packed(packed, ref)
     b2 = _gather_packed(packed, alt)
     mu_d = 0.5 * (b1["mu_d"] + b2["mu_d"])
