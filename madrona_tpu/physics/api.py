@@ -200,7 +200,8 @@ def _narrowphase_all(
     def hp_lane(blk_a, hrow_a, blk_b, pair):
         ph, qh, sh = split(blk_a)
         pp, qp, _ = split(blk_b)
-        h = np_.hull_row_to_world(hrow_a, dims, ph, qh, sh)
+        h = np_.hull_row_to_world(hrow_a, dims, ph, qh, sh,
+                                  need_edges=False)
         c = np_.hull_plane_contact(h, pp, qp)
         ok = c["valid"] & (pair[0] < n)
         # plane is ref
