@@ -597,3 +597,542 @@ def make_hh_narrowphase(dims, n_bodies, n_obj, tile_w: int = 256,
         )(nb_t, obj_t, pairs_t, hull_pack)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Pairs-in-sublanes variant (EXPERIMENTAL): the (world-tile x pair) grid
+# above leaves per-pair scalars on 1 of 8 sublanes; here a pair-tile
+# rides the sublane axis — every array is [PT, X.., TW] with reductions
+# over the X axis, so scalar math runs as dense [PT, TW] tiles. Same
+# record layout/algorithm; takes the component-PLANAR hull pack
+# (om.hull_pack_planar).
+#
+# Status: compiles and matches the grid kernel (up to argmax tie order
+# on parallel box edges — physically equivalent contacts) at small
+# configs (W=256, P=12, PT=12). Additional Mosaic findings encoded here:
+# interior dims of >=3-D tiles cannot be sliced (hence the planar pack
+# and the split rows_a/rows_b inputs), and the full E^2 working set
+# exceeds scoped VMEM (hence the chunked edge query + PT=8 tiling, which
+# needs P padded to a multiple of 8). Remaining blocker this round:
+# multi-minute Mosaic compiles at larger grids through the remote
+# compile tunnel made timing/tuning impractical; the grid kernel and the
+# XLA path remain the supported tiers.
+# ---------------------------------------------------------------------------
+
+
+def _pick_ax1(win, k):
+    """win [PT, TW] -> pick rows of tables [PT, K, .., TW] (one-hot)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+    m2 = iota == win[:, None, :]
+
+    def pick(tbl):
+        m = m2.reshape(
+            (tbl.shape[0], k) + (1,) * (tbl.ndim - 3) + (tbl.shape[-1],)
+        ).astype(tbl.dtype)
+        return jnp.sum(m * tbl, axis=1)
+
+    return pick
+
+
+def _argmax_ax1(score, *planes):
+    """score [PT, K, TW] -> (max [PT, TW], picked planes)."""
+    win = jnp.argmax(score, axis=1)
+    pick = _pick_ax1(win, score.shape[1])
+    return jnp.max(score, axis=1), tuple(pick(p) for p in planes)
+
+
+def _argmin_ax1(score, *planes):
+    mx, picked = _argmax_ax1(-score, *planes)
+    return -mx, picked
+
+
+def _unpack_hull_s(hrow, dims):
+    """hrow [PT, K, TW] (component-PLANAR layout, bodies._pack_hull_planar)
+    -> component planes with a leading pair axis. Only contiguous 2-D
+    slices (Mosaic cannot slice interior dims of >=3-D tiles)."""
+    v, f, fv, e = dims
+    off = 0
+
+    def cut(n):
+        nonlocal off
+        out = hrow[:, off:off + n]
+        off += n
+        return out
+
+    def cut3(n, shape=None):
+        x, y, z = cut(n), cut(n), cut(n)
+        if shape is not None:
+            pt, _, tw = hrow.shape
+            x = x.reshape((pt,) + shape + (tw,))
+            y = y.reshape((pt,) + shape + (tw,))
+            z = z.reshape((pt,) + shape + (tw,))
+        return (x, y, z)
+
+    h = {}
+    h["verts"] = cut3(v)
+    h["verts_mask"] = cut(v) > 0.5
+    h["planes_n"] = cut3(f)
+    h["faces_mask"] = cut(f) > 0.5
+    for name in ("edge_p1", "edge_p2", "edge_n1", "edge_n2"):
+        h[name] = cut3(e)
+    h["edges_mask"] = cut(e) > 0.5
+    h["face_polys"] = cut3(f * fv, (f, fv))   # each [PT, F, FV, TW]
+    h["face_poly_mask"] = hrow[:, off:off + f * fv].reshape(
+        (hrow.shape[0], f, fv, hrow.shape[-1])
+    ) > 0.5
+    return h
+
+
+def _world_s(h, pos, rot, scale):
+    """Transform to world; pos/rot/scale are tuples of [PT, TW] planes;
+    tables are [PT, X(, Y), TW]."""
+    out = {}
+    inv_s = tuple(1.0 / jnp.maximum(s, 1e-12) for s in scale)
+
+    def bshape(tbl):
+        # broadcast a [PT, TW] scalar over table mid axes
+        return (tbl.shape[0],) + (1,) * (tbl.ndim - 2) + (tbl.shape[-1],)
+
+    def xf_pts(p):
+        scaled = tuple(
+            p[i] * scale[i].reshape(bshape(p[i])) for i in range(3)
+        )
+        r = _qrot(tuple(q.reshape(bshape(p[0])) for q in rot), scaled)
+        return tuple(
+            r[i] + pos[i].reshape(bshape(p[i])) for i in range(3)
+        )
+
+    def xf_n(nrm):
+        sc = tuple(
+            nrm[i] * inv_s[i].reshape(bshape(nrm[i])) for i in range(3)
+        )
+        r = _qrot(tuple(q.reshape(bshape(nrm[0])) for q in rot), sc)
+        ln = jnp.sqrt(jnp.maximum(_vdot(r, r), 1e-30))
+        return tuple(x / ln for x in r)
+
+    out["verts"] = xf_pts(h["verts"])
+    out["verts_mask"] = h["verts_mask"]
+    out["planes_n"] = xf_n(h["planes_n"])
+    out["faces_mask"] = h["faces_mask"]
+    for name in ("edge_p1", "edge_p2"):
+        out[name] = xf_pts(h[name])
+    for name in ("edge_n1", "edge_n2"):
+        out[name] = xf_n(h[name])
+    out["edges_mask"] = h["edges_mask"]
+    out["face_polys"] = xf_pts(h["face_polys"])
+    out["face_poly_mask"] = h["face_poly_mask"]
+    p0 = tuple(out["face_polys"][i][:, :, 0] for i in range(3))
+    out["planes_d"] = _vdot(out["planes_n"], p0)
+    vm = h["verts_mask"].astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(vm, axis=1), 1.0)
+    out["center"] = tuple(
+        jnp.sum(jnp.where(h["verts_mask"], out["verts"][i], 0.0), axis=1)
+        / denom
+        for i in range(3)
+    )
+    return out
+
+
+def _support_sep_s(a, b):
+    na = a["planes_n"]
+    vb = b["verts"]
+    d = (
+        na[0][:, :, None] * vb[0][:, None]
+        + na[1][:, :, None] * vb[1][:, None]
+        + na[2][:, :, None] * vb[2][:, None]
+        - a["planes_d"][:, :, None]
+    )  # [PT, F, V, TW]
+    d = jnp.where(b["verts_mask"][:, None], d, BIG)
+    seps = jnp.min(d, axis=2)
+    seps = jnp.where(a["faces_mask"], seps, NEG_BIG)
+    return jnp.max(seps, axis=1), seps
+
+
+def _edge_query_s(a, b, e, chunk: int = 3):
+    """Edge query with the A-edge axis processed in chunks (a full
+    [PT, E*E, TW] working set of ~35 live planes exceeds VMEM; chunking
+    keeps ~chunk*E combos live while a running arg-best merges chunks)."""
+    neg = lambda v: tuple(-x for x in v)
+    pt, _, tw = a["edge_p1"][0].shape
+
+    best_sep = jnp.full((pt, tw), NEG_BIG)
+    best_planes = tuple(jnp.zeros((pt, tw)) for _ in range(15))
+
+    for c0 in range(0, e, chunk):
+        ca = lambda v: tuple(
+            jnp.repeat(x[:, c0:c0 + chunk], e, axis=1) for x in v
+        )
+        cb = lambda v: tuple(jnp.tile(x, (1, chunk, 1)) for x in v)
+        ea_p1, ea_p2 = ca(a["edge_p1"]), ca(a["edge_p2"])
+        eb_p1, eb_p2 = cb(b["edge_p1"]), cb(b["edge_p2"])
+        na1, na2 = ca(a["edge_n1"]), ca(a["edge_n2"])
+        nb1, nb2 = neg(cb(b["edge_n1"])), neg(cb(b["edge_n2"]))
+
+        bxa = _vcross(na2, na1)
+        dxc = _vcross(nb2, nb1)
+        cba = _vdot(nb1, bxa)
+        dba = _vdot(nb2, bxa)
+        adc = _vdot(na1, dxc)
+        bdc = _vdot(na2, dxc)
+        mink = (cba * dba < 0.0) & (adc * bdc < 0.0) & (cba * bdc > 0.0)
+
+        cr = _vcross(_vsub(ea_p2, ea_p1), _vsub(eb_p2, eb_p1))
+        len2 = _vdot(cr, cr)
+        em_a = jnp.repeat(
+            a["edges_mask"].astype(jnp.float32)[:, c0:c0 + chunk],
+            e, axis=1,
+        ) > 0.5
+        em_b = jnp.tile(
+            b["edges_mask"].astype(jnp.float32), (1, chunk, 1)
+        ) > 0.5
+        ok = mink & (len2 > 1e-12) & em_a & em_b
+        inv_len = jax.lax.rsqrt(jnp.maximum(len2, 1e-30))
+        n = tuple(c * inv_len for c in cr)
+        to_edge = tuple(
+            ea_p1[i] - a["center"][i][:, None, :] for i in range(3)
+        )
+        flip = jnp.where(_vdot(n, to_edge) < 0.0, -1.0, 1.0)
+        n = tuple(c * flip for c in n)
+        sep = _vdot(n, _vsub(eb_p1, ea_p1))
+        sep = jnp.where(ok, sep, NEG_BIG)
+        planes = n + ea_p1 + ea_p2 + eb_p1 + eb_p2
+        mx, picked = _argmax_ax1(sep, *planes)
+        better = mx > best_sep
+        best_planes = tuple(
+            jnp.where(better, new_p, old_p)
+            for new_p, old_p in zip(picked, best_planes)
+        )
+        best_sep = jnp.where(better, mx, best_sep)
+
+    p = best_planes
+    return (best_sep, p[0:3], p[3:6], p[6:9], p[9:12], p[12:15])
+
+
+def _poly_next_s(poly, mask, fv):
+    count = jnp.sum(mask.astype(jnp.int32), axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, fv, 1), 1)
+    is_last = iota == (count[:, None, :] - 1)
+    rolled = tuple(
+        jnp.concatenate([p[:, 1:], p[:, :1]], axis=1) for p in poly
+    )
+    return tuple(
+        jnp.where(is_last, poly[i][:, :1], rolled[i]) for i in range(3)
+    )
+
+
+def _reduce4_s(pts, depths, mask, normal, k):
+    """4-point reduction, [PT, K, TW] inputs, axis-1 picks."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+    n_pts = jnp.sum(mask.astype(jnp.int32), axis=1)
+
+    def pick(score, avail, *planes):
+        score = jnp.where(avail, score, NEG_BIG)
+        win = jnp.argmax(score, axis=1)
+        p = _pick_ax1(win, k)
+        return win, tuple(p(pl) for pl in planes)
+
+    nrm_b = tuple(x[:, None, :] for x in normal)
+    avail = mask
+    w0, (p0x, p0y, p0z, d0) = pick(
+        jnp.where(avail, 1.0, 0.0), avail, *pts, depths
+    )
+    avail = avail & (iota != w0[:, None, :])
+
+    dist2 = (
+        (pts[0] - p0x[:, None]) ** 2 + (pts[1] - p0y[:, None]) ** 2
+        + (pts[2] - p0z[:, None]) ** 2
+    )
+    w1, (p1x, p1y, p1z, d1) = pick(dist2, avail, *pts, depths)
+    avail = avail & (iota != w1[:, None, :])
+
+    ba = (p1x - p0x, p1y - p0y, p1z - p0z)
+    bc = tuple(pts[i] - (p1x, p1y, p1z)[i][:, None] for i in range(3))
+    cr = _vcross(tuple(x[:, None] for x in ba), bc)
+    signed = _vdot(nrm_b, cr)
+    w2, (p2x, p2y, p2z, d2, s2) = pick(
+        jnp.abs(signed), avail, *pts, depths, signed
+    )
+    avail = avail & (iota != w2[:, None, :])
+
+    flip = s2 < 0
+    q0 = _vwhere(flip, (p1x, p1y, p1z), (p0x, p0y, p0z))
+    q1 = _vwhere(flip, (p0x, p0y, p0z), (p1x, p1y, p1z))
+    e0 = jnp.where(flip, d1, d0)
+    e1 = jnp.where(flip, d0, d1)
+
+    ba2 = _vsub(q1, q0)
+    cb = _vsub((p2x, p2y, p2z), q1)
+    ac = _vsub(q0, (p2x, p2y, p2z))
+    aq = tuple(q0[i][:, None] - pts[i] for i in range(3))
+    qc = tuple(pts[i] - (p2x, p2y, p2z)[i][:, None] for i in range(3))
+    abq = _vdot(nrm_b, _vcross(tuple(x[:, None] for x in ba2), aq))
+    bcq = _vdot(nrm_b, _vcross(tuple(x[:, None] for x in cb), qc))
+    caq = _vdot(nrm_b, _vcross(aq, tuple(x[:, None] for x in ac)))
+    qarea = jnp.minimum(abq, jnp.minimum(bcq, caq))
+    w3, (p3x, p3y, p3z, d3) = pick(-qarea, avail, *pts, depths)
+
+    pts4 = (
+        jnp.stack([q0[0], q1[0], p2x, p3x], axis=1),
+        jnp.stack([q0[1], q1[1], p2y, p3y], axis=1),
+        jnp.stack([q0[2], q1[2], p2z, p3z], axis=1),
+    )
+    dep4 = jnp.stack([e0, e1, d2, d3], axis=1)
+    return pts4, dep4, jnp.minimum(n_pts, 4)
+
+
+def _face_manifold_s(ref_poly, ref_mask, ref_n, ref_d, other, dims):
+    v, f, fv, e = dims
+    dots = _vdot(other["planes_n"], tuple(x[:, None] for x in ref_n))
+    dots = jnp.where(other["faces_mask"], dots, BIG)
+    _, inc = _argmin_ax1(
+        dots, *[other["face_polys"][i] for i in range(3)],
+        other["face_poly_mask"].astype(jnp.float32),
+    )
+    inc_poly = (inc[0], inc[1], inc[2])            # [PT, FV, TW]
+    inc_mask = inc[3] > 0.5
+
+    ref_nxt = _poly_next_s(ref_poly, ref_mask, fv)
+    side_n = _vcross(
+        _vsub(ref_nxt, ref_poly), tuple(x[:, None] for x in ref_n)
+    )
+    side_d = _vdot(side_n, ref_poly)
+    side_live = ref_mask
+
+    def inside_all(p):
+        sd = (
+            side_n[0][:, None] * p[0][:, :, None]
+            + side_n[1][:, None] * p[1][:, :, None]
+            + side_n[2][:, None] * p[2][:, :, None]
+            - side_d[:, None]
+        )  # [PT, K, FVr, TW]
+        ok_f = jnp.where(
+            side_live[:, None], (sd <= 1e-6).astype(jnp.float32), 1.0
+        )
+        return jnp.min(ok_f, axis=2) > 0.5
+
+    v_ok = inc_mask & inside_all(inc_poly)
+
+    inc_nxt = _poly_next_s(inc_poly, inc_mask, fv)
+    inc_count = jnp.sum(inc_mask.astype(jnp.int32), axis=1)
+    edge_live = inc_mask & (inc_count[:, None, :] >= 2)
+    rep_i = lambda x: jnp.repeat(x, fv, axis=1)
+    rep_s = lambda x: jnp.tile(x, (1, fv, 1))
+    p1 = tuple(rep_i(inc_poly[i]) for i in range(3))
+    p2 = tuple(rep_i(inc_nxt[i]) for i in range(3))
+    e_live = rep_i(edge_live.astype(jnp.float32)) > 0.5
+    sn = tuple(rep_s(side_n[i]) for i in range(3))
+    sd_ = rep_s(side_d)
+    s_live = rep_s(side_live.astype(jnp.float32)) > 0.5
+    g1 = _vdot(p1, sn) - sd_
+    g2 = _vdot(p2, sn) - sd_
+    crosses = (g1 > 0.0) != (g2 > 0.0)
+    t = g1 / jnp.where(jnp.abs(g1 - g2) > 1e-12, g1 - g2, 1.0)
+    inter = tuple(p1[i] + t * (p2[i] - p1[i]) for i in range(3))
+    i_ok = e_live & s_live & crosses & inside_all(inter)
+
+    cand = tuple(
+        jnp.concatenate([inc_poly[i], inter[i]], axis=1) for i in range(3)
+    )
+    ok = jnp.concatenate(
+        [v_ok.astype(jnp.float32), i_ok.astype(jnp.float32)], axis=1
+    ) > 0.5
+    d = _vdot(cand, tuple(x[:, None] for x in ref_n)) - ref_d[:, None]
+    below = ok & (d <= 0.0)
+    proj = tuple(cand[i] - d * ref_n[i][:, None] for i in range(3))
+    return _reduce4_s(proj, -d, below, ref_n, fv + fv * fv)
+
+
+def _hh_kernel_sublane(dims, n_bodies, n_obj, rows_a_ref, rows_b_ref,
+                       nb_ref, obj_ref, pack_ref, out_ref):
+    v, f, fv, e = dims
+    n = n_bodies
+    # pairs arrive as two [PT, TW] blocks (removing the middle dim of a
+    # [PT, 2, TW] tile is an unsupported Mosaic relayout)
+    rows_a = rows_a_ref[:]
+    rows_b = rows_b_ref[:]
+    valid_pair = rows_a < n
+    ra = jnp.clip(rows_a, 0, n - 1)
+    rb = jnp.clip(rows_b, 0, n - 1)
+
+    nb = nb_ref[:]                                 # [N, 10, TW]
+    obj = obj_ref[:]                               # [N, TW]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+
+    def fetch(rows):
+        m = (iota_n == rows[None]).astype(jnp.float32)  # [N, PT, TW]
+        blk = jnp.sum(
+            m[:, :, None, :] * nb[:, None, :, :], axis=0
+        )  # [PT, 10, TW]
+        ob = jnp.sum(m * obj[:, None, :], axis=0)       # [PT, TW]
+        return blk, ob.astype(jnp.int32)
+
+    blk_a, obj_a = fetch(ra)
+    blk_b, obj_b = fetch(rb)
+
+    pt, _, tw = blk_a.shape
+    k = pack_ref.shape[1]
+    hrow_a = jnp.zeros((pt, k, tw), jnp.float32)
+    hrow_b = jnp.zeros((pt, k, tw), jnp.float32)
+    for o in range(n_obj):
+        row = pack_ref[o, :][None, :, None]
+        hrow_a = hrow_a + jnp.where((obj_a == o)[:, None, :], row, 0.0)
+        hrow_b = hrow_b + jnp.where((obj_b == o)[:, None, :], row, 0.0)
+
+    def split_blk(blk):
+        pos = (blk[:, 0], blk[:, 1], blk[:, 2])
+        rot = (blk[:, 3], blk[:, 4], blk[:, 5], blk[:, 6])
+        scale = (blk[:, 7], blk[:, 8], blk[:, 9])
+        return pos, rot, scale
+
+    pa, qa, sa = split_blk(blk_a)
+    pb, qb, sb = split_blk(blk_b)
+    ha = _world_s(_unpack_hull_s(hrow_a, dims), pa, qa, sa)
+    hb = _world_s(_unpack_hull_s(hrow_b, dims), pb, qb, sb)
+
+    sep_a, seps_a = _support_sep_s(ha, hb)
+    sep_b, seps_b = _support_sep_s(hb, ha)
+    sep_e, n_e, pa1, pa2, pb1, pb2 = _edge_query_s(ha, hb, e)
+    separated = (sep_a > 0.0) | (sep_b > 0.0) | (sep_e > 0.0)
+    is_face = (sep_a > sep_e) | (sep_b > sep_e)
+    a_is_ref = sep_a >= sep_b
+
+    ref_seps = jnp.where(a_is_ref[:, None, :], seps_a, seps_b)
+    ref_face = jnp.argmax(ref_seps, axis=1)
+    pick_f = _pick_ax1(ref_face, f)
+
+    c2 = a_is_ref[:, None, :]
+    c3 = a_is_ref[:, None, None, :]
+    ref_poly = tuple(
+        pick_f(jnp.where(c3, ha["face_polys"][i], hb["face_polys"][i]))
+        for i in range(3)
+    )
+    ref_mask = pick_f(
+        jnp.where(
+            c3, ha["face_poly_mask"].astype(jnp.float32),
+            hb["face_poly_mask"].astype(jnp.float32),
+        )
+    ) > 0.5
+    ref_n = tuple(
+        pick_f(jnp.where(c2, ha["planes_n"][i], hb["planes_n"][i]))
+        for i in range(3)
+    )
+    ref_d = pick_f(jnp.where(c2, ha["planes_d"], hb["planes_d"]))
+
+    def sel_other(key):
+        val_a, val_b = ha[key], hb[key]
+        if isinstance(val_a, tuple):
+            cond = c3 if val_a[0].ndim == 4 else c2
+            return tuple(
+                jnp.where(cond, vb, va) for va, vb in zip(val_a, val_b)
+            )
+        cond = c3 if val_a.ndim == 4 else c2
+        if val_a.dtype == jnp.bool_:
+            return jnp.where(
+                cond, val_b.astype(jnp.float32), val_a.astype(jnp.float32)
+            ) > 0.5
+        return jnp.where(cond, val_b, val_a)
+
+    other = {
+        key: sel_other(key)
+        for key in ("planes_n", "faces_mask", "face_polys", "face_poly_mask")
+    }
+    f_pts, f_dep, f_num = _face_manifold_s(
+        ref_poly, ref_mask, ref_n, ref_d, other, dims
+    )
+
+    v1 = _vsub(pa2, pa1)
+    v2 = _vsub(pb2, pb1)
+    v21 = _vsub(pb1, pa1)
+    d22 = _vdot(v2, v2)
+    d11 = _vdot(v1, v1)
+    d21 = _vdot(v2, v1)
+    d211 = _vdot(v21, v1)
+    d212 = _vdot(v21, v2)
+    denom = d21 * d21 - d22 * d11
+    s_gen = (d212 * d21 - d22 * d211) / jnp.where(
+        jnp.abs(denom) > 1e-12, denom, 1.0
+    )
+    s_par = -d211 / jnp.where(jnp.abs(d21) > 1e-12, d21, 1.0)
+    s = jnp.clip(jnp.where(jnp.abs(denom) < 1e-5, s_par, s_gen), 0.0, 1.0)
+    e_contact = tuple(pa1[i] + s * v1[i] for i in range(3))
+
+    n_pts = jnp.where(is_face, f_num, 1)
+    valid = valid_pair & (~separated) & (n_pts > 0)
+    ref_is_a = (~is_face) | a_is_ref
+    out_ref_row = jnp.where(ref_is_a, rows_a, rows_b).astype(jnp.float32)
+    out_alt_row = jnp.where(ref_is_a, rows_b, rows_a).astype(jnp.float32)
+    out_ref_row = jnp.where(valid, out_ref_row, float(n))
+    out_alt_row = jnp.where(valid, out_alt_row, float(n))
+    nrm_out = _vwhere(is_face[:, None, :],
+                      tuple(x[:, None, :] for x in ref_n),
+                      tuple(x[:, None, :] for x in n_e))
+
+    zero3 = jnp.zeros_like(f_dep[:, :3])
+    e_px = jnp.concatenate([e_contact[0][:, None], zero3], axis=1)
+    e_py = jnp.concatenate([e_contact[1][:, None], zero3], axis=1)
+    e_pz = jnp.concatenate([e_contact[2][:, None], zero3], axis=1)
+    e_d = jnp.concatenate([(-sep_e)[:, None], zero3], axis=1)
+    isf = is_face[:, None, :]
+    px = jnp.where(isf, f_pts[0], e_px)
+    py = jnp.where(isf, f_pts[1], e_py)
+    pz = jnp.where(isf, f_pts[2], e_pz)
+    pd = jnp.where(isf, f_dep, e_d)
+
+    rec = jnp.concatenate(
+        [
+            out_ref_row[:, None], out_alt_row[:, None],
+            jnp.where(valid, n_pts, 0).astype(jnp.float32)[:, None],
+            nrm_out[0], nrm_out[1], nrm_out[2],
+            px, py, pz, pd,
+        ],
+        axis=1,
+    )  # [PT, 22, TW]
+    out_ref[:] = rec
+
+
+def make_hh_narrowphase_sublane(dims, n_bodies, n_obj, pair_tile: int = 0,
+                                tile_w: int = 128, interpret: bool = False):
+    """Pairs-in-sublanes kernel builder (see module note). Returns
+    fn(nb_t [N,10,W], obj_t [N,W] f32, pairs_t [P,2,W] i32, hull_pack)
+    -> record [P, 22, W] f32."""
+    kern = functools.partial(_hh_kernel_sublane, dims, n_bodies, n_obj)
+
+    def run(nb_t, obj_t, pairs_t, hull_pack):
+        n, _, w = nb_t.shape
+        p = pairs_t.shape[0]
+        pt = pair_tile or p
+        tw = min(tile_w, w)
+        rows_a_t = pairs_t[:, 0, :]
+        rows_b_t = pairs_t[:, 1, :]
+        grid = (pl.cdiv(w, tw), pl.cdiv(p, pt))
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (pt, tw), lambda wi, pi: (pi, wi),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (pt, tw), lambda wi, pi: (pi, wi),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (n, 10, tw), lambda wi, pi: (0, 0, wi),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (n, tw), lambda wi, pi: (0, wi),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (pt, 22, tw), lambda wi, pi: (pi, 0, wi),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((p, 22, w), jnp.float32),
+            interpret=interpret,
+        )(rows_a_t, rows_b_t, nb_t, obj_t, hull_pack)
+
+    return run

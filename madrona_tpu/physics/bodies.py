@@ -52,6 +52,7 @@ class ObjectManager:
     # narrowphase fetches a lane's whole hull with ONE gather (many
     # small [.., 3]-trailing gathers each pad 3 -> 128 lanes on TPU)
     hull_pack: jnp.ndarray            # [O, K] f32
+    hull_pack_planar: jnp.ndarray     # [O, K] f32 (component-planar)
     hull_dims: tuple                  # static (V, F, FV, E)
     # per-object scalar params packed for one-hot lookup: inv_mass(1),
     # inv_inertia(3), mu_s(1), mu_d(1), aabb_min(3), aabb_max(3),
@@ -100,6 +101,30 @@ def _edge_normals(h: geo.HullData, side: int) -> np.ndarray:
 def _face_polys(h: geo.HullData) -> np.ndarray:
     idx = np.clip(h.face_verts, 0, None)
     return h.verts[idx].astype(np.float32)  # [F, FV, 3]
+
+
+def _pack_hull_planar(h: geo.HullData) -> np.ndarray:
+    """Component-planar variant of _pack_hull: every vector table is
+    stored as x-block | y-block | z-block so kernels can take contiguous
+    2-D slices (Mosaic cannot slice interior dims of >=3-D tiles).
+    Order mirrors narrowphase_pallas._unpack_hull_s."""
+    def planar(arr):  # [X, 3] -> [3*X] as x|y|z blocks
+        return np.concatenate(
+            [arr[:, 0], arr[:, 1], arr[:, 2]]
+        ).astype(np.float32)
+
+    fp = _face_polys(h)            # [F, FV, 3]
+    f, fv, _ = fp.shape
+    parts = [
+        planar(h.verts), h.verts_mask.astype(np.float32),
+        planar(h.planes[:, :3]), h.faces_mask.astype(np.float32),
+        planar(_edge_pts(h, 0)), planar(_edge_pts(h, 1)),
+        planar(_edge_normals(h, 0)), planar(_edge_normals(h, 1)),
+        h.edges_mask.astype(np.float32),
+        planar(fp.reshape(f * fv, 3)),
+        (h.face_verts >= 0).astype(np.float32).reshape(-1),
+    ]
+    return np.concatenate(parts).astype(np.float32)
 
 
 def _pack_hull(h: geo.HullData) -> np.ndarray:
@@ -290,6 +315,9 @@ class ObjectRegistry:
                 stack(lambda r: hull_of(r).face_verts >= 0)
             ),
             hull_pack=jnp.asarray(stack(lambda r: _pack_hull(hull_of(r)))),
+            hull_pack_planar=jnp.asarray(
+                stack(lambda r: _pack_hull_planar(hull_of(r)))
+            ),
             hull_dims=(nv, nf, nfv, ne),
             body_pack=jnp.asarray(
                 stack(
