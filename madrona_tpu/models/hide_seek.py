@@ -40,6 +40,8 @@ N_HIDERS = 2
 N_SEEKERS = 2
 N_AGENTS = N_HIDERS + N_SEEKERS
 N_BOXES = 3
+N_RAMPS = 2
+N_MOVABLE = N_BOXES + N_RAMPS     # grab/lock targets (boxes then ramps)
 
 ARENA = 20.0            # arena half-width
 WALL_H = 3.0
@@ -51,8 +53,32 @@ AGENT_Z = AGENT_HALF[2]
 ROW_FLOOR = 0
 ROW_WALL0 = 1           # 4 walls
 ROW_BOX0 = 5
-ROW_AGENT0 = ROW_BOX0 + N_BOXES          # 8
-N_BODIES = ROW_AGENT0 + N_AGENTS         # 12
+ROW_RAMP0 = ROW_BOX0 + N_BOXES           # 8
+ROW_AGENT0 = ROW_RAMP0 + N_RAMPS         # 10
+N_BODIES = ROW_AGENT0 + N_AGENTS         # 14
+
+# ramp wedge: 22 deg slope rising toward -x (gpu_hideseek's movable ramp)
+RAMP_L, RAMP_W, RAMP_H = 1.2, 1.1, 1.0
+
+
+def _wedge_geo():
+    from ..physics import geo
+    l, w, h = RAMP_L, RAMP_W, RAMP_H
+    verts = np.array(
+        [
+            [-l, -w, 0], [l, -w, 0], [l, w, 0], [-l, w, 0],  # base
+            [-l, -w, h], [-l, w, h],                          # top edge
+        ],
+        np.float32,
+    )
+    faces = [
+        (0, 3, 2, 1),      # bottom (outward -z)
+        (0, 1, 4),         # -y side triangle... adjusted below
+        (2, 3, 5),         # +y side triangle
+        (1, 2, 5, 4),      # slope
+        (0, 4, 5, 3),      # back (-x)
+    ]
+    return verts, faces
 
 EPISODE_LEN = 240
 PREP_STEPS = 96
@@ -86,6 +112,10 @@ def _make_objects():
     )
     ids["box"] = reg.add_box([BOX_HALF] * 3, mass=1.2, mu_s=0.8, mu_d=0.6)
     from ..physics import geo
+    rverts, rfaces = _wedge_geo()
+    ids["ramp"] = reg.add_hull(
+        geo.build_hull(rverts, rfaces), mass=1.5, mu_s=0.7, mu_d=0.5,
+    )
     he = np.asarray(AGENT_HALF, np.float32)
     izz = ((2 * he[0]) ** 2 + (2 * he[1]) ** 2) / 12.0
     ids["agent"] = reg.add_hull(
@@ -101,6 +131,12 @@ def _make_meshes():
     ids["plane"] = reg.add_quad(ARENA * 2, color=(0.45, 0.45, 0.45))
     ids["wall"] = reg.add_box([1.0, 1.0, 1.0], color=(0.6, 0.6, 0.2))
     ids["box"] = reg.add_box([BOX_HALF] * 3, color=(0.55, 0.3, 0.1))
+    rverts, rfaces = _wedge_geo()
+    tris = []
+    for fc in rfaces:
+        for k in range(1, len(fc) - 1):
+            tris.append((fc[0], fc[k], fc[k + 1]))
+    ids["ramp"] = reg.add_mesh(rverts, tris, color=(0.7, 0.55, 0.2))
     ids["hider"] = reg.add_box(AGENT_HALF, color=(0.1, 0.4, 0.9))
     ids["seeker"] = reg.add_box(AGENT_HALF, color=(0.9, 0.15, 0.1))
     return reg.build(), ids
@@ -128,6 +164,7 @@ class HideSeek(EnvBase):
         render_obj = (
             [self.mobj["plane"], *( [self.mobj["wall"]] * 4 ),
              *( [self.mobj["box"]] * N_BOXES ),
+             *( [self.mobj["ramp"]] * N_RAMPS ),
              *( [self.mobj["hider"]] * N_HIDERS ),
              *( [self.mobj["seeker"]] * N_SEEKERS )]
         )
@@ -160,7 +197,7 @@ class HideSeek(EnvBase):
         reg.register_singleton("Reset", (), jnp.int32)
         reg.register_singleton("EpisodeStep", (), jnp.int32)
         reg.register_singleton("Grabbed", (N_AGENTS,), jnp.int32)
-        reg.register_singleton("Locked", (N_BOXES,), jnp.int32)
+        reg.register_singleton("Locked", (N_MOVABLE,), jnp.int32)
         reg.register_singleton("SelfObs", (N_AGENTS, 10), jnp.float32)
         reg.register_singleton("Visible", (N_SEEKERS, N_HIDERS), jnp.int32)
 
@@ -196,7 +233,7 @@ class HideSeek(EnvBase):
         w = need.shape[0]
 
         draws = []
-        for i in range(2 * N_BOXES + 2 * N_HIDERS + N_AGENTS):
+        for i in range(2 * N_MOVABLE + 2 * N_HIDERS + N_AGENTS):
             k = _rng.split_i(node_key, jnp.full((w,), i, jnp.uint32))
             draws.append(_rng.sample_uniform(k))
         di = iter(draws)
@@ -224,6 +261,12 @@ class HideSeek(EnvBase):
             pos = pos.at[:, ROW_BOX0 + i].set(
                 jnp.stack([bx, by, jnp.full_like(bx, BOX_HALF)], axis=-1)
             )
+        for i in range(N_RAMPS):
+            rx = next(di) * 2 * span - span
+            ry = next(di) * 2 * span - span
+            pos = pos.at[:, ROW_RAMP0 + i].set(
+                jnp.stack([rx, ry, jnp.zeros_like(rx)], axis=-1)
+            )
         # hiders random; seekers in the corner
         yaw = jnp.zeros((w, N_AGENTS), jnp.float32)
         for a in range(N_HIDERS):
@@ -243,12 +286,13 @@ class HideSeek(EnvBase):
 
         obj_row = jnp.asarray(
             [self.obj["plane"]] + [self.obj["wall"]] * 4
-            + [self.obj["box"]] * N_BOXES + [self.obj["agent"]] * N_AGENTS,
+            + [self.obj["box"]] * N_BOXES + [self.obj["ramp"]] * N_RAMPS
+            + [self.obj["agent"]] * N_AGENTS,
             jnp.int32,
         )
         resp_row = jnp.asarray(
             [bodies.RESPONSE_STATIC] * 5
-            + [bodies.RESPONSE_DYNAMIC] * (N_BOXES + N_AGENTS),
+            + [bodies.RESPONSE_DYNAMIC] * (N_MOVABLE + N_AGENTS),
             jnp.int32,
         )
 
@@ -329,8 +373,8 @@ class HideSeek(EnvBase):
             )
         )
 
-        # nearest box in front (shared grab/lock targeting)
-        box_pos = pos[:, ROW_BOX0:ROW_BOX0 + N_BOXES]
+        # nearest movable (box or ramp) in front (shared grab/lock targets)
+        box_pos = pos[:, ROW_BOX0:ROW_BOX0 + N_MOVABLE]
         fwd = jnp.stack(
             [-jnp.sin(yaw), jnp.cos(yaw), jnp.zeros_like(yaw)], axis=-1
         )
@@ -359,13 +403,13 @@ class HideSeek(EnvBase):
         box_resp = jnp.where(
             locked > 0, bodies.RESPONSE_STATIC, bodies.RESPONSE_DYNAMIC
         )
-        resp = resp.at[:, ROW_BOX0:ROW_BOX0 + N_BOXES].set(box_resp)
+        resp = resp.at[:, ROW_BOX0:ROW_BOX0 + N_MOVABLE].set(box_resp)
 
         # ---- grab joints (locked boxes not grabbable)
         grabbed = s["Grabbed"]
         held_any = jnp.any(
             grabbed[:, :, None]
-            == (ROW_BOX0 + jnp.arange(N_BOXES))[None, None, :], axis=1
+            == (ROW_BOX0 + jnp.arange(N_MOVABLE))[None, None, :], axis=1
         )
         d2m = jnp.where(held_any[:, None, :], jnp.inf, d2)
         nearest_g = jnp.argmin(d2m, axis=-1)
@@ -469,15 +513,16 @@ class HideSeek(EnvBase):
         ) > VIS_COS
 
         # occlusion rays vs boxes + walls (not floor/agents)
-        occ_rows = jnp.arange(ROW_WALL0, ROW_BOX0 + N_BOXES)
+        occ_rows = jnp.arange(ROW_WALL0, ROW_RAMP0 + N_RAMPS)
         inst_obj = jnp.broadcast_to(
             jnp.asarray(
-                [self.mobj["wall"]] * 4 + [self.mobj["box"]] * N_BOXES,
+                [self.mobj["wall"]] * 4 + [self.mobj["box"]] * N_BOXES
+                + [self.mobj["ramp"]] * N_RAMPS,
                 jnp.int32,
             )[None],
-            (w, 4 + N_BOXES),
+            (w, 4 + N_MOVABLE),
         )
-        inst_mask = jnp.ones((w, 4 + N_BOXES), bool)
+        inst_mask = jnp.ones((w, 4 + N_MOVABLE), bool)
 
         los_cfg = dataclasses.replace(self.rcfg, dtype="float32")
 

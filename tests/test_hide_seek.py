@@ -148,3 +148,50 @@ def test_pixels_deterministic(sim):
     np.testing.assert_array_equal(np.asarray(o1["rgb"]), np.asarray(o2["rgb"]))
     assert np.asarray(o1["rgb"]).shape == (W, hs.N_AGENTS, 16, 16, 3)
     assert np.isfinite(np.asarray(o1["depth"])).all()
+
+
+def test_ramp_is_climbable():
+    """Driving into a ramp's slope raises the agent (wedge hulls in the
+    narrowphase hot path, not just boxes)."""
+    s_im = make_sim(
+        HideSeek(render_size=16, pixels=False), num_worlds=W, seed=2,
+        donate=False,
+    )
+    step = s_im.step_fn()
+    s, _ = step(s_im.state, {
+        "action": jnp.zeros((W, hs.N_AGENTS, 5), jnp.int32),
+        "reset": jnp.zeros((W,), jnp.int32),
+    })
+    s = past_prep(s)
+    # ramp 0 ahead of hider 0 with its slope facing the agent (+x side
+    # is the low edge; agent approaches from +x moving -x)
+    t = s.tables[hs.RIGID_BODY]
+    pos = t.columns["Position"]
+    rot = t.columns["Rotation"]
+    pos = pos.at[:, hs.ROW_RAMP0].set(jnp.asarray([0.0, 0.0, 0.0]))
+    pos = pos.at[:, hs.ROW_AGENT0].set(
+        jnp.asarray([2.5, 0.0, hs.AGENT_Z])
+    )
+    # clear everything else away
+    for r in [hs.ROW_RAMP0 + 1, hs.ROW_BOX0, hs.ROW_BOX0 + 1,
+              hs.ROW_BOX0 + 2, hs.ROW_AGENT0 + 1, hs.ROW_AGENT0 + 2,
+              hs.ROW_AGENT0 + 3]:
+        z = hs.AGENT_Z if r >= hs.ROW_AGENT0 else 1.0
+        pos = pos.at[:, r].set(jnp.asarray([15.0, 15.0 - r, z]))
+    # face -x: yaw with fwd=(-1, 0): fwd=(-sin, cos) -> yaw = pi/2
+    rot = rot.at[:, hs.ROW_AGENT0].set(
+        hs._yaw_quat(jnp.full((W,), jnp.pi / 2))
+    )
+    tables = dict(s.tables)
+    tables[hs.RIGID_BODY] = dataclasses.replace(
+        t, columns={**t.columns, "Position": pos, "Rotation": rot}
+    )
+    s = dataclasses.replace(s, tables=tables)
+
+    a = jnp.zeros((W, hs.N_AGENTS, 5), jnp.int32).at[:, 0, 0].set(3)
+    max_z = 0.0
+    for _ in range(30):
+        s, _ = step(s, {"action": a, "reset": jnp.zeros((W,), jnp.int32)})
+        z = float(s.tables[hs.RIGID_BODY].columns["Position"][0, hs.ROW_AGENT0, 2])
+        max_z = max(max_z, z)
+    assert max_z > hs.AGENT_Z + 0.25, max_z  # climbed the slope
