@@ -85,3 +85,55 @@ def test_batched_vmap():
     np.testing.assert_allclose(
         np.asarray(d2), [4.0, 16.0, 0.0], atol=1e-4
     )
+
+
+def test_sat_separation_matches_gjk_distance():
+    """Cross-validation of independent geometry paths: for separated box
+    pairs, the SAT face/edge separation must equal the GJK distance."""
+    import jax
+    from madrona_tpu.physics import bodies, narrowphase as nph
+
+    reg = bodies.ObjectRegistry()
+    box = reg.add_box([1.0, 0.8, 0.6], mass=1.0)
+    om = reg.build()
+
+    rs = np.random.RandomState(3)
+    ident = jnp.asarray([1.0, 0, 0, 0])
+    one = jnp.ones(3)
+
+    def axis_angle(axis, ang):
+        axis = np.asarray(axis, np.float64)
+        axis = axis / np.linalg.norm(axis)
+        return jnp.asarray(
+            [np.cos(ang / 2), *(np.sin(ang / 2) * axis)], jnp.float32
+        )
+
+    checked = 0
+    for trial in range(30):
+        pos_b = rs.randn(3) * 4.0
+        q_b = axis_angle(rs.randn(3), rs.rand() * np.pi)
+        ha = nph.hull_to_world(om, 0, jnp.zeros(3), ident, one)
+        hb = nph.hull_to_world(om, 0, jnp.asarray(pos_b, jnp.float32),
+                               q_b, one)
+        sep_a, _ = nph.query_face_directions(ha, hb)
+        sep_b, _ = nph.query_face_directions(hb, ha)
+        sep_e = nph.query_edge_directions(ha, hb)[0]
+        sat_sep = float(jnp.maximum(jnp.maximum(sep_a, sep_b), sep_e))
+        av, am = ha.verts, ha.verts_mask
+        bv, bm = hb.verts, hb.verts_mask
+        d2 = float(gjk.hull_hull_distance2(av, am, bv, bm))
+        dist = np.sqrt(d2)
+        if sat_sep > 1e-3:
+            # separated: SAT's best axis is a LOWER bound on the true
+            # distance (equality iff the closest features involve a
+            # face or an edge pair — vertex-vertex closest points admit
+            # no achieving axis)
+            assert sat_sep <= dist * (1 + 2e-3) + 2e-4, (
+                trial, sat_sep, dist
+            )
+            if abs(sat_sep - dist) <= 1e-2 * max(dist, 1.0):
+                checked += 1
+        else:                       # overlapping: GJK must report 0
+            assert d2 <= 1e-5, (trial, sat_sep, d2)
+    # face/edge-dominated cases (where equality holds) must be common
+    assert checked >= 8, checked
