@@ -24,7 +24,6 @@ from .core.component import (
     vec4,
 )
 from .core.state import SimState, StateManager
-from .core import registry as _registry
 from .core.registry import ECSRegistry
 from .graph.builder import Ctx, TaskGraph, TaskGraphBuilder, TaskGraphID
 from .graph.executor import Executor

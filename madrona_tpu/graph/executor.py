@@ -16,7 +16,6 @@ which composes several taskgraphs into one jitted function.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax

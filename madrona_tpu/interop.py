@@ -12,7 +12,7 @@ differ, exactly like the reference's CPU<->CUDA staging copies).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -20,10 +20,9 @@ conventions): ``Action`` (imported), ``Reward``, ``Done``, ``Reset``
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..core.registry import ECSRegistry
 from ..core.state import SimState, StateManager

@@ -30,8 +30,6 @@ points; .at[i].set lowers to an unsupported scatter — use concatenate.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

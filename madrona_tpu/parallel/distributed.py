@@ -12,7 +12,6 @@ measures.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Callable, Optional
 

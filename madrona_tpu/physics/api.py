@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from ..core.registry import ECSRegistry
 from ..core.state import SimState, StateManager
 from ..graph.builder import TaskGraphBuilder, TaskGraphID
-from ..utils import math3d as m3
 from . import broadphase as bp
 from . import geo
 from . import narrowphase as np_

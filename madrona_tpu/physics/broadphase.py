@@ -23,8 +23,6 @@ Parity notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -52,7 +52,6 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import math3d as m3
-from . import geo
 
 NEG_BIG = -3.0e38
 BIG = 3.0e38

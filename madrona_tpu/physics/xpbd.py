@@ -28,8 +28,6 @@ Equation parity map (reference -> here):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ exported singletons.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 

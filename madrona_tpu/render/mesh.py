@@ -14,7 +14,7 @@ the pad budget belong in an LBVH path (see render/raycast.py note).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np

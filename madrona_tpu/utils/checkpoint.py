@@ -15,9 +15,6 @@ the orbax-style convenience SURVEY.md §5.3 calls for): ``save_npz`` /
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

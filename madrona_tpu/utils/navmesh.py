@@ -18,8 +18,6 @@ worlds where a heap cannot).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -3,7 +3,6 @@ src/viz/recorder.cpp — per-step state capture for later playback)."""
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
