@@ -167,4 +167,8 @@ def import_from_disk(path: str) -> List[ImportedMesh]:
         return [load_obj(path)]
     if ext in (".gltf", ".glb"):
         return load_gltf(path)
+    if ext in (".usd", ".usda"):
+        from .usd import load_usd
+
+        return load_usd(path)
     raise ValueError(f"unsupported asset format: {ext}")

@@ -160,3 +160,123 @@ def test_bvh_large_random_mesh_matches_bruteforce():
             assert t_bvh >= 1e30 or t_bvh == 1e30
         else:
             np.testing.assert_allclose(t_bvh, best, rtol=1e-5)
+
+
+# ------------------------------------------------------------------- USD
+
+CUBE_USDA = """#usda 1.0
+(
+    defaultPrim = "root"
+    metersPerUnit = 1
+)
+
+def Xform "root"
+{
+    double3 xformOp:translate = (10, 0, 0)
+    uniform token[] xformOpOrder = ["xformOp:translate"]
+
+    def Xform "child" (
+        kind = "component"
+    )
+    {
+        float3 xformOp:scale = (2, 2, 2)
+        uniform token[] xformOpOrder = ["xformOp:scale"]
+
+        def Mesh "cube"
+        {
+            int[] faceVertexCounts = [4, 4, 4, 4, 4, 4]
+            int[] faceVertexIndices = [0, 1, 3, 2, 4, 6, 7, 5, 0, 4, 5, 1,
+                                       2, 3, 7, 6, 0, 2, 6, 4, 1, 5, 7, 3]
+            point3f[] points = [(-1, -1, -1), (1, -1, -1), (-1, 1, -1),
+                                (1, 1, -1), (-1, -1, 1), (1, -1, 1),
+                                (-1, 1, 1), (1, 1, 1)]
+        }
+    }
+}
+"""
+
+
+def test_usda_import(tmp_path):
+    from madrona_tpu.assets import load_usd
+
+    p = os.path.join(tmp_path, "cube.usda")
+    with open(p, "w") as f:
+        f.write(CUBE_USDA)
+    meshes = load_usd(p)
+    assert len(meshes) == 1
+    m = meshes[0]
+    assert m.name == "cube"
+    assert m.positions.shape == (8, 3)
+    assert m.indices.shape == (12, 3)    # 6 quads fan-triangulated
+    # translate (10,0,0) then scale 2x applied to geometry
+    np.testing.assert_allclose(m.positions.min(axis=0), [8, -2, -2])
+    np.testing.assert_allclose(m.positions.max(axis=0), [12, 2, 2])
+    # dispatch
+    (m2,) = import_from_disk(p)
+    np.testing.assert_array_equal(m2.indices, m.indices)
+
+
+def test_usda_transform_ops(tmp_path):
+    from madrona_tpu.assets import load_usd
+
+    txt = """#usda 1.0
+def Xform "g"
+{
+    matrix4d xformOp:transform = ( (0, 1, 0, 0), (-1, 0, 0, 0),
+                                   (0, 0, 1, 0), (5, 0, 0, 1) )
+    uniform token[] xformOpOrder = ["xformOp:transform"]
+
+    def Mesh "tri" (
+        active = true
+    )
+    {
+        int[] faceVertexCounts = [3]
+        int[] faceVertexIndices = [0, 1, 2]
+        point3f[] points = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+        uniform token orientation = "leftHanded"
+    }
+}
+"""
+    p = os.path.join(tmp_path, "t.usda")
+    with open(p, "w") as f:
+        f.write(txt)
+    (m,) = load_usd(p)
+    # row-vector matrix: x-axis maps to +y, y-axis to -x, translate (5,0,0)
+    np.testing.assert_allclose(
+        m.positions, [[5, 1, 0], [4, 0, 0], [5, 0, 1]], atol=1e-6
+    )
+    # leftHanded flips winding
+    np.testing.assert_array_equal(m.indices, [[0, 2, 1]])
+
+
+def test_usda_rotate_and_normals(tmp_path):
+    from madrona_tpu.assets import load_usd
+
+    txt = """#usda 1.0
+def Mesh "quad"
+{
+    float3 xformOp:rotateXYZ = (0, 0, 90)
+    uniform token[] xformOpOrder = ["xformOp:rotateXYZ"]
+    int[] faceVertexCounts = [3]
+    int[] faceVertexIndices = [0, 1, 2]
+    point3f[] points = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    normal3f[] normals = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+}
+"""
+    p = os.path.join(tmp_path, "r.usda")
+    with open(p, "w") as f:
+        f.write(txt)
+    (m,) = load_usd(p)
+    # rotateZ(90): +x -> +y
+    np.testing.assert_allclose(m.positions[0], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(m.normals[0], [0, 1, 0], atol=1e-6)
+
+
+def test_usdc_rejected(tmp_path):
+    from madrona_tpu.assets import load_usd
+
+    p = os.path.join(tmp_path, "bin.usd")
+    with open(p, "wb") as f:
+        f.write(b"PXR-USDC" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="usdc"):
+        load_usd(p)
