@@ -14,6 +14,10 @@ import sys
 import time
 
 import jax
+
+from madrona_tpu.utils.config import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -42,6 +42,7 @@ class RenderingSystem:
         camera_rows: Sequence[int],  # body rows that carry a camera
         camera_offset=(0.0, 0.0, 0.0),
         body_mask=None,              # [N] bool: rows that render
+        tlas_max_instances: int = 0,  # >0: per-view top-K TLAS cull tier
     ):
         self.mesh = mesh
         self.cfg = cfg
@@ -54,6 +55,7 @@ class RenderingSystem:
             jnp.ones((n,), bool) if body_mask is None
             else jnp.asarray(body_mask, bool)
         )
+        self.tlas_max_instances = tlas_max_instances
 
     def register_types(self, reg: ECSRegistry):
         v = len(self.camera_rows)
@@ -83,10 +85,19 @@ class RenderingSystem:
 
         inst_mask = jnp.broadcast_to(self.body_mask[None, :], pos.shape[:2])
         inst_obj = jnp.broadcast_to(self.render_obj[None, :], pos.shape[:2])
-        rgb, depth = render_views(
-            self.cfg, self.mesh, pos, rot, scale, inst_obj, inst_mask,
-            cam_pos, cam_rot,
-        )
+        if self.tlas_max_instances > 0:
+            from .tlas import render_views_tlas
+
+            rgb, depth, _overlap = render_views_tlas(
+                self.cfg, self.mesh, pos, rot, scale, inst_obj, inst_mask,
+                cam_pos, cam_rot,
+                max_instances_per_view=self.tlas_max_instances,
+            )
+        else:
+            rgb, depth = render_views(
+                self.cfg, self.mesh, pos, rot, scale, inst_obj, inst_mask,
+                cam_pos, cam_rot,
+            )
         singles = dict(state.singletons)
         singles["RGBOut"] = rgb
         singles["DepthOut"] = depth

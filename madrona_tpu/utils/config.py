@@ -45,3 +45,18 @@ def env_override(cfg: T, prefix: str = PREFIX) -> T:
             ty = type(getattr(cfg, f.name))
             updates[f.name] = _parse(os.environ[var], ty)
     return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def enable_compile_cache(path: str = "") -> None:
+    """Turn on JAX's persistent compilation cache (the TPU analogue of
+    the reference's on-disk CUDA kernel cache, MADRONA_MWGPU_KERNEL_CACHE
+    — SURVEY.md §5.6). Safe to call repeatedly; the env var
+    MADRONA_TPU_COMPILE_CACHE overrides the location, empty disables."""
+    import jax
+
+    loc = os.environ.get(PREFIX + "_COMPILE_CACHE", path or "/tmp/mtpu_jax_cache")
+    if not loc:
+        return
+    jax.config.update("jax_compilation_cache_dir", loc)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -16,6 +16,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from madrona_tpu.utils.config import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
 
 

@@ -17,6 +17,10 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from madrona_tpu.utils.config import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
 
 
