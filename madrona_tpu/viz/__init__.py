@@ -6,10 +6,16 @@ ImGui interactive viewer + ``viz::Recorder`` headless capture,
 scopes the interactive Vulkan viewer out of the parity metric and calls
 for a headless substitute: the Recorder captures per-step state/RGBD
 trajectories; the Viewer renders top-down world schematics or saved
-camera frames to PNG (pure NumPy PPM/PNG writer — no display stack).
+camera frames to PNG (pure NumPy PPM/PNG writer — no display stack); the
+WebViewer serves the full interactive loop (flycam, pause/step, world
+switch, keyboard agent control) to a browser over stdlib HTTP.
 """
 
 from .recorder import Recorder
 from .viewer import render_topdown, save_png, save_frame_grid
+from .web_viewer import WebViewer
 
-__all__ = ["Recorder", "render_topdown", "save_png", "save_frame_grid"]
+__all__ = [
+    "Recorder", "render_topdown", "save_png", "save_frame_grid",
+    "WebViewer",
+]
