@@ -148,7 +148,7 @@ def rollout():
     step = sim.step_fn()
     s = sim.state
     rs = np.random.RandomState(7)
-    acts = Hanabi.random_actions(rs, 120, W)
+    acts = Hanabi().random_actions(rs, 120, W)
     outs = []
     for t in range(120):
         s, o = step(
@@ -195,3 +195,238 @@ def test_deterministic(rollout):
             {"action": jnp.asarray(acts[t]), "reset": jnp.zeros((W,), jnp.int32)},
         )
         np.testing.assert_array_equal(np.asarray(o["obs"]), outs[t]["obs"])
+
+
+# ------------------------------------------------- N-player generalization
+
+class OracleHanabiN:
+    """N-player oracle with the HLE action layout (hanabi.py docstring)."""
+
+    def __init__(self, world_key, p):
+        self.k = world_key
+        self.p = p
+        self.h = H.hand_size(p)
+        self.step_idx = 0
+        self.done = True
+
+    def _node_key(self, node_id):
+        sk = np_rng.split_i(self.k, np.uint32(self.step_idx))
+        return np_rng.split_i(sk, np.uint32(node_id))
+
+    def maybe_reset(self):
+        if not self.done:
+            return
+        nk = self._node_key(0)
+        u = np.array(
+            [np_rng.uniform(np_rng.split_i(nk, np.uint32(i)))
+             for i in range(H.DECK)]
+        )
+        perm = np.argsort(u, kind="stable").astype(np.int64)
+        p, h = self.p, self.h
+        self.deck = perm
+        self.hands = [list(perm[q * h:(q + 1) * h]) for q in range(p)]
+        self.deck_pos = p * h
+        self.hint_c = [[-1] * h for _ in range(p)]
+        self.hint_r = [[-1] * h for _ in range(p)]
+        self.fireworks = [0] * 5
+        self.discards = [0] * 25
+        self.info = H.MAX_INFO
+        self.lives = H.MAX_LIVES
+        self.cur = 0
+        self.score = 0
+        self.final_turns = -1
+        self.done = False
+
+    color = staticmethod(OracleHanabi.color)
+
+    @staticmethod
+    def rank(c):
+        return int(H.CARD_RANK[c])
+
+    def legal(self):
+        p, h = self.p, self.h
+        out = np.zeros(H.num_actions(p), np.int32)
+        hand = self.hands[self.cur]
+        for i in range(h):
+            if hand[i] >= 0 and self.info < H.MAX_INFO:
+                out[i] = 1
+            if hand[i] >= 0:
+                out[h + i] = 1
+        if self.info > 0:
+            for off in range(1, p):
+                tgt = self.hands[(self.cur + off) % p]
+                for v in range(5):
+                    if any(c >= 0 and self.color(c) == v for c in tgt):
+                        out[2 * h + (off - 1) * 5 + v] = 1
+                    if any(c >= 0 and self.rank(c) == v for c in tgt):
+                        out[2 * h + (p - 1) * 5 + (off - 1) * 5 + v] = 1
+        return out
+
+    def step(self, actions):
+        self.maybe_reset()
+        p, h = self.p, self.h
+        legal = self.legal()
+        a = int(actions[self.cur])
+        if not legal[a]:
+            a = int(np.argmax(legal))
+        cur = self.cur
+        hand = self.hands[cur]
+        old_score = self.score
+
+        if a < 2 * h:  # discard / play
+            kind, slot = (0, a) if a < h else (1, a - h)
+            card = hand[slot]
+            if kind == 1:
+                if self.rank(card) == self.fireworks[self.color(card)]:
+                    self.fireworks[self.color(card)] += 1
+                    if self.fireworks[self.color(card)] == 5:
+                        self.info = min(self.info + 1, H.MAX_INFO)
+                else:
+                    self.lives -= 1
+                    self.discards[
+                        self.color(card) * 5 + self.rank(card)
+                    ] += 1
+            else:
+                self.info = min(self.info + 1, H.MAX_INFO)
+                self.discards[self.color(card) * 5 + self.rank(card)] += 1
+            del hand[slot]
+            del self.hint_c[cur][slot]
+            del self.hint_r[cur][slot]
+            if self.deck_pos < H.DECK:
+                hand.append(int(self.deck[self.deck_pos]))
+                self.deck_pos += 1
+            else:
+                hand.append(-1)
+            self.hint_c[cur].append(-1)
+            self.hint_r[cur].append(-1)
+        else:  # hints
+            self.info -= 1
+            hid = a - 2 * h
+            if hid < (p - 1) * 5:
+                off, val, is_color = hid // 5 + 1, hid % 5, True
+            else:
+                rid = hid - (p - 1) * 5
+                off, val, is_color = rid // 5 + 1, rid % 5, False
+            tgt = (cur + off) % p
+            for i, c in enumerate(self.hands[tgt]):
+                if c < 0:
+                    continue
+                if is_color and self.color(c) == val:
+                    self.hint_c[tgt][i] = val
+                if not is_color and self.rank(c) == val:
+                    self.hint_r[tgt][i] = val
+
+        self.score = sum(self.fireworks)
+        if self.final_turns > 0:
+            self.final_turns -= 1
+        if self.deck_pos >= H.DECK and self.final_turns < 0:
+            self.final_turns = p
+        dead = self.lives <= 0
+        perfect = self.score == 25
+        self.done = dead or perfect or self.final_turns == 0
+        if dead:
+            self.score = 0
+        reward = self.score - old_score
+        self.cur = (cur + 1) % p
+        self.step_idx += 1
+        return reward
+
+
+@pytest.mark.parametrize("p", [3, 4])
+def test_nplayer_matches_oracle(p):
+    env = Hanabi(num_players=p)
+    sim = make_sim(env, num_worlds=2, seed=SEED + p, donate=False)
+    step = sim.step_fn()
+    s = sim.state
+    rs = np.random.RandomState(p)
+    acts = env.random_actions(rs, 120, 2)
+    outs = []
+    for t in range(120):
+        s, o = step(
+            s, {"action": acts[t], "reset": jnp.zeros((2,), jnp.int32)}
+        )
+        outs.append({k: np.asarray(v) for k, v in o.items()})
+
+    base = np_rng.key(np.full((2,), SEED + p, np.uint32))
+    keys = np_rng.split_i(base, np.arange(2, dtype=np.uint32))
+    for wi in range(2):
+        oracle = OracleHanabiN(keys[wi], p)
+        for t in range(120):
+            r = oracle.step(np.asarray(acts[t, wi]))
+            assert outs[t]["reward"][wi] == r, (wi, t)
+            assert outs[t]["score"][wi] == oracle.score, (wi, t)
+            assert outs[t]["done"][wi] == int(oracle.done), (wi, t)
+
+
+def test_card_knowledge_negative_info():
+    env = Hanabi(obs_mode="card_knowledge")
+    sim = make_sim(env, num_worlds=1, seed=3, donate=False)
+    step = sim.step_fn()
+    s = sim.state
+    zero = jnp.zeros((1,), jnp.int32)
+    # first step: any action resets then plays; use a color hint on
+    # player 1's card 0 color: need the dealt hand => step once with
+    # action 5 (play slot 0) to trigger reset, then read hands
+    s, o = step(s, {"action": jnp.asarray([[5, 5]], jnp.int32),
+                    "reset": zero})
+    hands = np.asarray(s.singletons["Hands"])[0]
+    cur = int(np.asarray(s.singletons["CurPlayer"])[0])
+    other = 1 - cur
+    tgt_color = int(H.CARD_COLOR[hands[other][0]])
+    act = 10 + tgt_color     # reveal color to the only other player
+    a = np.zeros((1, 2), np.int32)
+    a[0, cur] = act
+    s, o = step(s, {"action": jnp.asarray(a), "reset": zero})
+
+    kc = np.asarray(s.singletons["KnowColor"])[0, other]   # [h, 5]
+    hc = np.asarray(s.singletons["HintedColor"])[0, other]
+    for i in range(5):
+        card = hands[other][i]
+        if card < 0:
+            continue
+        if int(H.CARD_COLOR[card]) == tgt_color:
+            # matched: knowledge collapsed to one-hot + positive hint
+            assert hc[i] == tgt_color
+            assert kc[i].tolist() == [
+                1 if c == tgt_color else 0 for c in range(5)
+            ]
+        else:
+            # unmatched: hinted color excluded (negative information)
+            assert kc[i, tgt_color] == 0
+            assert kc[i].sum() == 4
+
+    # obs carries the plausibility section and matches declared dim
+    obs = np.asarray(o["obs"])
+    assert obs.shape == (1, 2, env.obs_dim)
+    assert np.isfinite(obs).all()
+    base = H.compact_obs_dim(2)
+    know_sec = obs[0, other, base:].reshape(2, 5, 35)
+    # own (seat-relative 0) plausibility for card i == kc x kr outer
+    kr = np.asarray(s.singletons["KnowRank"])[0, other]
+    expect = (kc[:, :, None] * kr[:, None, :]).reshape(5, 25)
+    np.testing.assert_array_equal(know_sec[0, :, :25], expect)
+
+
+def test_knowledge_shifts_on_removal():
+    env = Hanabi(obs_mode="card_knowledge")
+    sim = make_sim(env, num_worlds=1, seed=5, donate=False)
+    step = sim.step_fn()
+    s = sim.state
+    zero = jnp.zeros((1,), jnp.int32)
+    s, _ = step(s, {"action": jnp.asarray([[5, 5]], jnp.int32),
+                    "reset": zero})
+    hands = np.asarray(s.singletons["Hands"])[0]
+    cur = int(np.asarray(s.singletons["CurPlayer"])[0])
+    other = 1 - cur
+    tgt_color = int(H.CARD_COLOR[hands[other][0]])
+    a = np.zeros((1, 2), np.int32)
+    a[0, cur] = 10 + tgt_color
+    s, _ = step(s, {"action": jnp.asarray(a), "reset": zero})
+    kc_before = np.asarray(s.singletons["KnowColor"])[0, other]
+    # the hinted player (now current) discards slot 0 -> knowledge shifts
+    a2 = np.zeros((1, 2), np.int32)
+    a2[0, other] = 0
+    s, _ = step(s, {"action": jnp.asarray(a2), "reset": zero})
+    kc_after = np.asarray(s.singletons["KnowColor"])[0, other]
+    np.testing.assert_array_equal(kc_after[:4], kc_before[1:])
+    assert kc_after[4].tolist() == [1] * 5     # fresh draw: all possible
