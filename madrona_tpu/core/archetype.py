@@ -32,12 +32,18 @@ class Table:
     entity_id:  [W, C] int32 — id of the entity in each row (-1 if none)
     entity_gen: [W, C] int32 — generation of that entity
     num_rows:   [W] int32    — live row count per world
+    overflow:   [W] int32    — rows dropped by appends since the last
+                 host check (the re-trace signal: Executor.maybe_grow
+                 reads it and re-jits at a larger capacity tier — the
+                 TPU answer to the reference's VA-mapped table growth,
+                 src/mw/device/state.cpp:29-60)
     """
 
     columns: Dict[str, Any]
     entity_id: jax.Array
     entity_gen: jax.Array
     num_rows: jax.Array
+    overflow: jax.Array
 
 
 def make_table(
@@ -60,7 +66,10 @@ def make_table(
         nrows = jnp.full((num_worlds,), cap, jnp.int32)
     else:
         nrows = jnp.zeros((num_worlds,), jnp.int32)
-    return Table(columns=columns, entity_id=eid, entity_gen=egen, num_rows=nrows)
+    return Table(
+        columns=columns, entity_id=eid, entity_gen=egen, num_rows=nrows,
+        overflow=jnp.zeros((num_worlds,), jnp.int32),
+    )
 
 
 def row_mask(table: Table, capacity: int) -> jax.Array:
@@ -104,10 +113,12 @@ def append_rows(table: Table, values: Dict[str, Any], append_mask) -> Table:
             }
         else:
             new_cols[cname] = scatter_col(col, values[cname])
+    dropped = append_mask & ~ok
     return dataclasses.replace(
         table,
         columns=new_cols,
         num_rows=table.num_rows + ok.astype(jnp.int32),
+        overflow=table.overflow + dropped.astype(jnp.int32),
     )
 
 
@@ -144,7 +155,11 @@ def append_many(table: Table, values: Dict[str, Any], valid) -> Table:
     new_counts = jnp.minimum(
         table.num_rows + jnp.sum(ok.astype(jnp.int32), axis=1), cap
     )
-    return dataclasses.replace(table, columns=new_cols, num_rows=new_counts)
+    dropped = jnp.sum((valid & ~ok).astype(jnp.int32), axis=1)
+    return dataclasses.replace(
+        table, columns=new_cols, num_rows=new_counts,
+        overflow=table.overflow + dropped,
+    )
 
 
 def gather_rows(table: Table, order) -> Table:

@@ -102,3 +102,100 @@ class Executor:
         if key not in self._step_fns:
             self._step_fns[key] = self._compile(key)
         return self._step_fns[key]
+
+
+# --------------------------------------------------------------------------
+# Capacity-tier growth (the re-trace policy)
+
+
+def _pad_axis1(arr, new_cap, fill):
+    import jax.numpy as jnp
+
+    pad = new_cap - arr.shape[1]
+    if pad <= 0:
+        return arr
+    pad_shape = (arr.shape[0], pad) + arr.shape[2:]
+    return jnp.concatenate(
+        [arr, jnp.full(pad_shape, fill, arr.dtype)], axis=1
+    )
+
+
+def _grow_table(table, new_cap):
+    import dataclasses as _dc
+
+    def grow_col(col):
+        if isinstance(col, dict):
+            return {f: _pad_axis1(a, new_cap, 0) for f, a in col.items()}
+        return _pad_axis1(col, new_cap, 0)
+
+    cols = {c: grow_col(v) for c, v in table.columns.items()}
+    eid = table.entity_id
+    egen = table.entity_gen
+    if eid.shape[1] > 0:
+        eid = _pad_axis1(eid, new_cap, -1)
+        egen = _pad_axis1(egen, new_cap, -1)
+    return _dc.replace(
+        table, columns=cols, entity_id=eid, entity_gen=egen,
+    )
+
+
+def _overflow_counts(self):
+    """Max dropped-row count per archetype since the last check
+    (one host sync; [W] maxima)."""
+    import numpy as np
+
+    out = {}
+    for name, table in self.state.tables.items():
+        v = int(np.max(np.asarray(table.overflow)))
+        if v:
+            out[name] = v
+    return out
+
+
+def _grow_archetype(self, name: str, new_capacity: int):
+    """Re-tier one archetype: pad its table to ``new_capacity``, bump the
+    registered spec, and drop compiled step fns so the next step
+    re-traces at the new tier (the TPU equivalent of the reference's
+    commit-on-demand table growth — here growth is an explicit re-jit,
+    never a silent remap)."""
+    import dataclasses as _dc
+
+    spec = self.sm.archetypes[name]
+    if new_capacity <= spec.capacity:
+        raise ValueError(
+            f"new capacity {new_capacity} <= current {spec.capacity}"
+        )
+    self.sm.archetypes[name] = _dc.replace(spec, capacity=new_capacity)
+    tables = dict(self.state.tables)
+    table = _grow_table(tables[name], new_capacity)
+    # clear the overflow signal at the new tier
+    import jax.numpy as jnp
+
+    table = _dc.replace(
+        table, overflow=jnp.zeros_like(table.overflow)
+    )
+    tables[name] = table
+    self.state = _dc.replace(self.state, tables=tables)
+    self._step_fns.clear()
+
+
+def _maybe_grow(self, factor: int = 2):
+    """Check overflow signals; re-tier any overflowed archetype so the
+    next tier covers capacity + dropped (rounded up by ``factor``).
+    Returns {arch: new_capacity}, empty when nothing overflowed. Costs
+    one host readback per call; call between steps, NOT inside jit."""
+    grown = {}
+    for name, count in self.overflow_counts().items():
+        spec = self.sm.archetypes[name]
+        need = spec.capacity + count
+        new_cap = spec.capacity
+        while new_cap < need:
+            new_cap *= factor
+        self.grow_archetype(name, new_cap)
+        grown[name] = new_cap
+    return grown
+
+
+Executor.overflow_counts = _overflow_counts
+Executor.grow_archetype = _grow_archetype
+Executor.maybe_grow = _maybe_grow
