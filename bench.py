@@ -28,11 +28,15 @@ def pick_flagship():
     """Prefer the heaviest working env (escape_room > cartpole).
 
     World count chosen by measurement: the physics step is bandwidth-
-    bound, so throughput peaks near 1k worlds on one v5e chip."""
+    bound, so throughput peaks near 1k worlds on one v5e chip.
+    MADRONA_TPU_BENCH_WORLDS overrides for sweeps."""
+    import os
+
+    worlds = int(os.environ.get("MADRONA_TPU_BENCH_WORLDS", "0"))
     try:
         from madrona_tpu.models.escape_room import EscapeRoom
 
-        return "escape_room", EscapeRoom(), 1024, 400
+        return "escape_room", EscapeRoom(), worlds or 1024, 400
     except Exception:
         from madrona_tpu.models.cartpole import Cartpole
 

@@ -133,13 +133,21 @@ class EscapeRoom(EnvBase):
     action_buckets = (4, 8, 5, 2)
 
     def __init__(self):
+        import jax
+
+        from ..utils.config import env_override
+
         self.om, self.obj = _make_objects()
-        self.cfg = PhysicsConfig(
+        self.cfg = env_override(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, gravity=(0.0, 0.0, -9.8),
             # contacts once per step (Small-Steps style): 1.7x faster,
             # behavior covered by this env's test suite
             narrowphase_once=True,
-        )
+            # whole-substep Pallas megakernel: measured 161.8k -> 389.3k
+            # steps/s on one v5e chip; on CPU backends the XLA path is
+            # the fast one (interpret-mode pallas is for parity tests)
+            megakernel=jax.default_backend() != "cpu",
+        ))
         # measured occupancy over random rollouts: max 3 hull-hull and 8
         # hull-plane candidates; 12 gives 4x headroom (overflow drops
         # contacts for a step — soft failure)

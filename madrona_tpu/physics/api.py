@@ -275,6 +275,96 @@ def _narrowphase_mixed_pallas(
     )
 
 
+def megakernel_substeps(body: BodyState, contacts: Contacts, om, cfg,
+                        jbuf: Optional[_joints.Joints] = None,
+                        tile_w: int = 128,
+                        interpret: Optional[bool] = None) -> BodyState:
+    """Run every substep (integrate -> position solve -> set_velocities
+    -> velocity solve) in one VMEM-resident Pallas call
+    (ops/solver_pallas). Contacts are frozen for the step
+    (narrowphase_once semantics); outputs match the XLA jacobi path."""
+    from ..ops import solver_pallas as spk
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    w, n = body.pos.shape[:2]
+    c = contacts.ref.shape[1]
+    h = cfg.dt / cfg.substeps
+
+    params = om.obj_params(body.obj_id)
+    static = body.response == xpbd.RESPONSE_STATIC
+    dynamic = body.response == xpbd.RESPONSE_DYNAMIC
+    moving = (~static) & body.active
+    f32 = lambda b: b.astype(jnp.float32)[..., None]
+    inv_m_masked = jnp.where(static, 0.0, params["inv_m"])
+    inv_i_masked = jnp.where(static[..., None], 0.0, params["inv_i"])
+    param_t = jnp.concatenate(
+        [
+            inv_m_masked[..., None], inv_i_masked,
+            params["mu_s"][..., None], params["mu_d"][..., None],
+            f32(dynamic), f32(moving), f32(static),
+            body.ext_force, body.ext_torque, f32(body.active),
+            params["inv_m"][..., None], params["inv_i"],
+        ],
+        axis=-1,
+    )  # [W, N, PARAM_F]
+    state_t = jnp.concatenate(
+        [body.pos, body.rot, body.vel, body.omega], axis=-1
+    )  # [W, N, STATE_F]
+
+    avg, max_pen, zero = xpbd._avg_contacts_batch(
+        contacts.points, contacts.num
+    )
+    ok = (contacts.num > 0) & (~zero)
+    con_t = jnp.concatenate(
+        [contacts.normal, avg, max_pen[..., None],
+         ok.astype(jnp.float32)[..., None]],
+        axis=-1,
+    )  # [W, C, CON_F]
+    pts_t = contacts.points.reshape(w, c, 16)
+
+    t3 = lambda a: jnp.transpose(a, (2, 1, 0))
+    t2 = lambda a: jnp.transpose(a, (1, 0))
+    jargs = ()
+    n_joints = 0
+    if jbuf is not None:
+        n_joints = jbuf.capacity
+        jok = (
+            jbuf.active & (jbuf.e1 >= 0) & (jbuf.e1 < n)
+            & (jbuf.e2 >= 0) & (jbuf.e2 < n)
+        )
+        jnt_t = jnp.concatenate(
+            [
+                jbuf.r1, jbuf.r2, jbuf.attach_q1, jbuf.attach_q2,
+                jbuf.separation[..., None], jbuf.a1_local, jbuf.a2_local,
+                jok.astype(jnp.float32)[..., None],
+                (jbuf.jtype == _joints.JOINT_FIXED).astype(
+                    jnp.float32
+                )[..., None],
+            ],
+            axis=-1,
+        )  # [W, J, JNT_F]
+        jargs = (t2(jbuf.e1), t2(jbuf.e2), t3(jnt_t))
+    fn = spk.make_substep_solver(
+        n, c, cfg.substeps, cfg.jacobi_iters, h, cfg.gravity,
+        cfg.restitution, cfg.restitution_threshold,
+        n_joints=n_joints, tile_w=min(tile_w, w), interpret=interpret,
+    )
+    out = fn(
+        t3(state_t), t3(param_t), t2(contacts.ref), t2(contacts.alt),
+        t3(con_t), t3(pts_t), t2(contacts.num), *jargs,
+    )
+    out = jnp.transpose(out, (2, 1, 0))               # [W, N, OUT_F]
+    return dataclasses.replace(
+        body,
+        pos=out[..., 0:3], rot=out[..., 3:7],
+        vel=out[..., 7:10], omega=out[..., 10:13],
+        prev_x=out[..., 13:16], prev_q=out[..., 16:20],
+        presolve_x=out[..., 20:23], presolve_q=out[..., 23:27],
+        presolve_v=out[..., 27:30], presolve_w=out[..., 30:33],
+    )
+
+
 def make_physics_node(
     sm: StateManager,
     om: ObjectManager,
@@ -333,6 +423,22 @@ def make_physics_node(
             frozen_contacts = narrow(
                 xpbd.integrate(body, om, h, gravity), cands
             )
+
+        if cfg.megakernel:
+            if not (jacobi and cfg.narrowphase_once):
+                raise ValueError(
+                    "PhysicsConfig.megakernel requires solver='jacobi' "
+                    "and narrowphase_once=True"
+                )
+            body = megakernel_substeps(
+                body, frozen_contacts, om, cfg, jbuf=jbuf
+            )
+            body = dataclasses.replace(
+                body,
+                ext_force=jnp.zeros_like(body.ext_force),
+                ext_torque=jnp.zeros_like(body.ext_torque),
+            )
+            return write_back(sm_, state, body)
 
         def substep(body, _):
             body = xpbd.integrate(body, om, h, gravity, params=params)

@@ -59,6 +59,11 @@ class PhysicsConfig:
     # reused across substeps; False matches the reference exactly
     # (narrowphase per substep, xpbd.cpp:1098-1130).
     narrowphase_once: bool = False
+    # True: run the whole substep loop as one VMEM-resident Pallas
+    # megakernel (ops/solver_pallas) — requires solver="jacobi",
+    # narrowphase_once=True, and no joint buffer. Same math as the XLA
+    # path; on CPU backends the kernel runs in interpret mode.
+    megakernel: bool = False
 
 
 @jax.tree_util.register_dataclass

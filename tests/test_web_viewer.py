@@ -97,6 +97,8 @@ def viewer():
         width=64, height=48,
         inputs_fn=lambda: {},
     )
+    v.paused = True
+    v._advance_locked()      # pre-warm the step compile off the HTTP path
     srv = v.make_server(port=0)
     port = srv.server_address[1]
     th = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -106,7 +108,7 @@ def viewer():
 
 
 def _get(port, path):
-    c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=180)
     c.request("GET", path)
     r = c.getresponse()
     body = r.read()
@@ -133,6 +135,7 @@ def test_frame_and_topdown_png(viewer):
 
 def test_keys_drive_camera_and_sim(viewer):
     v, port = viewer
+    v.paused = False
     cam0 = list(v.cam_pos)
     _get(port, "/key?k=w")
     assert v.cam_pos[1] > cam0[1]
