@@ -431,7 +431,8 @@ def make_physics_node(
                     "and narrowphase_once=True"
                 )
             body = megakernel_substeps(
-                body, frozen_contacts, om, cfg, jbuf=jbuf
+                body, frozen_contacts, om, cfg, jbuf=jbuf,
+                tile_w=cfg.megakernel_tile,
             )
             body = dataclasses.replace(
                 body,

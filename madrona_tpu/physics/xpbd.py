@@ -64,6 +64,8 @@ class PhysicsConfig:
     # narrowphase_once=True, and no joint buffer. Same math as the XLA
     # path; on CPU backends the kernel runs in interpret mode.
     megakernel: bool = False
+    # world-lane tile of the megakernel grid (tuning knob)
+    megakernel_tile: int = 128
 
 
 @jax.tree_util.register_dataclass

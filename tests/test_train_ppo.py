@@ -25,3 +25,24 @@ def test_ppo_improves():
     assert np.isfinite(last)
     # random policy survives ~20 steps; learning should clearly beat it
     assert last > max(40.0, 1.5 * first), (first, last)
+
+
+def test_ppo_distributed_8dev_mesh():
+    """Sharded PPO: worlds over the 8-device CPU mesh, params replicated;
+    training still improves and params stay identical on every device."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "examples"))
+    import train_ppo_distributed as tpd
+
+    ep_len, pi_p = tpd.main(["--worlds", "256", "--updates", "25"])
+    assert ep_len > 25.0          # random policy is ~10-15
+
+    # replicated params: every shard identical
+    leaf = jax.tree_util.tree_leaves(pi_p)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(s, shards[0])
+    assert len(leaf.sharding.device_set) == 8
