@@ -33,6 +33,18 @@ def pick_flagship():
     import os
 
     worlds = int(os.environ.get("MADRONA_TPU_BENCH_WORLDS", "0"))
+    which = os.environ.get("MADRONA_TPU_BENCH_ENV", "escape_room")
+    if which == "hide_seek":
+        # the reference's engine-scale design point: 16k hide&seek worlds
+        # (tracing.hpp:26-28); sim-only, like the reference's headless
+        # benchmark binary
+        from madrona_tpu.models.hide_seek import HideSeek
+
+        return "hide_seek", HideSeek(pixels=False), worlds or 16384, 200
+    if which == "hide_seek_pixels":
+        from madrona_tpu.models.hide_seek import HideSeek
+
+        return "hide_seek_pixels", HideSeek(render_size=16), worlds or 2048, 100
     try:
         from madrona_tpu.models.escape_room import EscapeRoom
 

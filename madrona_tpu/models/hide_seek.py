@@ -3,14 +3,15 @@
 Capability-parity target for the reference ecosystem's ``gpu_hideseek``
 example (``/root/reference/README.md:36-39``, the engine-scale design
 point of 16k worlds — tracing.hpp:26-28): hiders and seekers in a walled
-arena with movable, lockable boxes; a prep phase where only hiders act;
-per-step team rewards driven by occlusion-aware visibility; per-agent
-RGBD camera observations rendered by the batch raycaster.
+arena with movable boxes and climbable ramps, both grabbable and
+team-lockable (a lock is owned by the locking team; only that team can
+unlock); a prep phase where only hiders act; per-step team rewards
+driven by occlusion-aware visibility; per-agent RGBD camera
+observations rendered by the batch raycaster.
 
-Simplifications vs the full game (documented): no ramps; lock is a
-global toggle (any agent can lock/unlock a faced box -> it becomes
-static) instead of team-owned locks; visibility = line-of-sight ray +
-±60° facing cone instead of the reference's view-frustum test chain.
+Simplifications vs the full game (documented): visibility =
+line-of-sight ray + ±60° facing cone instead of the reference's
+view-frustum test chain.
 
 Actions per agent: (move_amount 0-3, move_angle 0-7, rotate 0-4,
 grab 0-1, lock 0-1). Agents 0..NH-1 are hiders, the rest seekers.
@@ -153,9 +154,15 @@ class HideSeek(EnvBase):
         self.om, self.obj = _make_objects()
         self.mesh, self.mobj = _make_meshes()
         self.pixels = pixels
-        self.cfg = PhysicsConfig(
+        import jax
+
+        from ..utils.config import env_override
+
+        self.cfg = env_override(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, narrowphase_once=True,
-        )
+            # whole-substep megakernel on accelerators (see escape_room)
+            megakernel=jax.default_backend() != "cpu",
+        ))
         self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=7, sphere_any=1)
         self.rcfg = RenderConfig(
             width=render_size, height=render_size, fov_deg=90.0,
@@ -385,15 +392,24 @@ class HideSeek(EnvBase):
         nearest = jnp.argmin(d2, axis=-1)
         near_ok = jnp.take_along_axis(d2, nearest[..., None], -1)[..., 0] <= GRAB_RANGE**2
 
-        # ---- lock toggle (one agent per box per step; lowest agent wins)
+        # ---- team-owned lock toggle (one agent per box per step; lowest
+        # agent wins). Locked stores the owning team + 1 (0 = unlocked,
+        # 1 = hider-locked, 2 = seeker-locked); only the owning team can
+        # unlock — the full game's mechanic (mujoco-worldgen hide&seek
+        # LockObjWrapper team ownership).
         locked = s["Locked"]
         want_lock = lock & near_ok
         for a in range(N_AGENTS):
+            team_code = 1 if a < N_HIDERS else 2
             tgt = nearest[:, a]
             do = want_lock[:, a]
             cur = locked[widx, tgt]
+            new = jnp.where(
+                cur == 0, team_code,                  # lock for my team
+                jnp.where(cur == team_code, 0, cur),  # unlock own; else hold
+            )
             locked = locked.at[widx, tgt].set(
-                jnp.where(do, 1 - cur, cur)
+                jnp.where(do, new, cur)
             )
             # only the first locker acts on a box this step
             same = want_lock & (nearest == tgt[:, None])

@@ -195,3 +195,39 @@ def test_ramp_is_climbable():
         z = float(s.tables[hs.RIGID_BODY].columns["Position"][0, hs.ROW_AGENT0, 2])
         max_z = max(max_z, z)
     assert max_z > hs.AGENT_Z + 0.25, max_z  # climbed the slope
+
+
+def test_team_owned_locks(sim):
+    """A seeker cannot unlock a hider-locked box; the hider can."""
+    step = sim.step_fn()
+    s, _ = step(sim.state, zero_acts())
+    s = past_prep(s)
+    seeker = hs.N_HIDERS          # first seeker index
+    s = set_positions(
+        s,
+        {hs.ROW_AGENT0: (0.0, 0.0), hs.ROW_BOX0: (0.0, 1.6),
+         hs.ROW_BOX0 + 1: (12.0, 12.0), hs.ROW_BOX0 + 2: (-12.0, 12.0),
+         hs.ROW_AGENT0 + 1: (15, 15),
+         hs.ROW_AGENT0 + seeker: (0.0, 3.2),
+         hs.ROW_AGENT0 + 3: (-15, 15)},
+        yaws={0: 0.0, seeker: np.pi},   # seeker faces the box from +y
+    )
+    zero = jnp.zeros((W,), jnp.int32)
+    # hider 0 locks box 0 -> owner code 1
+    a = jnp.zeros((W, hs.N_AGENTS, 5), jnp.int32).at[:, 0, 4].set(1)
+    s, _ = step(s, {"action": a, "reset": zero})
+    assert (np.asarray(s.singletons["Locked"])[:, 0] == 1).all()
+    # seeker tries to unlock -> still hider-locked
+    a2 = jnp.zeros((W, hs.N_AGENTS, 5), jnp.int32).at[:, seeker, 4].set(1)
+    s, _ = step(s, {"action": a2, "reset": zero})
+    assert (np.asarray(s.singletons["Locked"])[:, 0] == 1).all()
+    # hider unlocks its own lock
+    s, _ = step(s, {"action": a, "reset": zero})
+    assert (np.asarray(s.singletons["Locked"])[:, 0] == 0).all()
+    # now the seeker locks it for its team -> owner code 2
+    s, _ = step(s, {"action": a2, "reset": zero})
+    assert (np.asarray(s.singletons["Locked"])[:, 0] == 2).all()
+    resp = np.asarray(
+        s.tables[hs.RIGID_BODY].columns["ResponseType"]
+    )[:, hs.ROW_BOX0]
+    assert (resp == 2).all()       # seeker-locked is still static

@@ -194,3 +194,36 @@ def test_escape_room_megakernel_pipeline():
                 outs[True][t][k], outs[False][t][k],
                 rtol=2e-3, atol=2e-4, err_msg=f"step {t} key {k}",
             )
+
+
+def test_hide_seek_megakernel_pipeline():
+    """Hide&seek drives joints (grabs) + per-step ResponseType switching
+    (locks) through the megakernel; outputs must match the XLA path."""
+    from madrona_tpu.models.base import make_sim
+    from madrona_tpu.models.hide_seek import HideSeek
+
+    outs = {}
+    for mega in (False, True):
+        env = HideSeek(pixels=False)
+        env.cfg = dataclasses.replace(env.cfg, megakernel=mega)
+        sim = make_sim(env, num_worlds=2, seed=3, donate=False)
+        step = sim.step_fn()
+        s = sim.state
+        rs = np.random.RandomState(1)
+        frames = []
+        for t in range(8):
+            a = jnp.asarray(
+                rs.randint(0, 2, (2, 4, 5)), jnp.int32
+            ).at[..., 0].set(rs.randint(0, 4, (2, 4)))
+            s, o = step(
+                s, {"action": a, "reset": jnp.zeros((2,), jnp.int32)}
+            )
+            frames.append({k: np.asarray(v) for k, v in o.items()})
+        outs[mega] = frames
+
+    for t in range(8):
+        for k in outs[False][t]:
+            np.testing.assert_allclose(
+                outs[True][t][k], outs[False][t][k],
+                rtol=2e-3, atol=2e-4, err_msg=f"step {t} key {k}",
+            )
