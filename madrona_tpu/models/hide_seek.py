@@ -399,17 +399,21 @@ class HideSeek(EnvBase):
         # LockObjWrapper team ownership).
         locked = s["Locked"]
         want_lock = lock & near_ok
+        # one-hot select/update instead of [widx, tgt] gathers/scatters:
+        # XLA's TPU scatter re-reads the operand per row (see
+        # xpbd._gather_packed note); one-hots keep this on dense VPU ops
         for a in range(N_AGENTS):
             team_code = 1 if a < N_HIDERS else 2
             tgt = nearest[:, a]
             do = want_lock[:, a]
-            cur = locked[widx, tgt]
+            oh = jax.nn.one_hot(tgt, N_MOVABLE, dtype=locked.dtype)
+            cur = jnp.sum(oh * locked, axis=1)
             new = jnp.where(
                 cur == 0, team_code,                  # lock for my team
                 jnp.where(cur == team_code, 0, cur),  # unlock own; else hold
             )
-            locked = locked.at[widx, tgt].set(
-                jnp.where(do, new, cur)
+            locked = jnp.where(
+                (do[:, None]) & (oh > 0), new[:, None], locked
             )
             # only the first locker acts on a box this step
             same = want_lock & (nearest == tgt[:, None])
@@ -429,10 +433,15 @@ class HideSeek(EnvBase):
         )
         d2m = jnp.where(held_any[:, None, :], jnp.inf, d2)
         nearest_g = jnp.argmin(d2m, axis=-1)
+        oh_g = jax.nn.one_hot(nearest_g, N_MOVABLE, dtype=jnp.float32)
+        locked_g = jnp.einsum(
+            "wam,wm->wa", oh_g, locked.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
         ok_g = (
             jnp.take_along_axis(d2m, nearest_g[..., None], -1)[..., 0]
             <= GRAB_RANGE**2
-        ) & ~(locked[widx[:, None], nearest_g] > 0)
+        ) & ~(locked_g > 0.5)
         want_new = grab & (grabbed < 0) & ok_g
         # sequential claim: earlier agents win contested boxes
         for a in range(N_AGENTS):
@@ -444,14 +453,22 @@ class HideSeek(EnvBase):
         )
 
         jb = papi.joints_view(state)
+        # grabbed-body pose fetch as one-hot einsums (not [widx, srow]
+        # gathers — the same TPU gather pathology as above)
+        pose_blk = jnp.concatenate([pos, rotq], axis=-1)     # [W, N, 7]
         for a in range(N_AGENTS):
             row = new_grabbed[:, a]
             on = row >= 0
             srow = jnp.clip(row, 0, N_BODIES - 1)
+            oh_s = jax.nn.one_hot(srow, N_BODIES, dtype=jnp.float32)
+            blk = jnp.einsum(
+                "wn,wnf->wf", oh_s, pose_blk,
+                preferred_element_type=jnp.float32,
+            )
             q1 = a_rot[:, a]
-            q2 = rotq[widx, srow]
+            q2 = blk[:, 3:7]
             x1 = a_pos[:, a]
-            x2 = pos[widx, srow]
+            x2 = blk[:, 0:3]
             aq1 = m3.quat_normalize(m3.quat_mul(m3.quat_inv(q1), q2))
             aq2 = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (w, 4))
             mid = 0.5 * (x1 + x2)

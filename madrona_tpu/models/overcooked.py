@@ -73,7 +73,12 @@ class Overcooked(EnvBase):
     action_shape = (N_AGENTS,)
     action_buckets = (6,)
 
-    def __init__(self, layout: str = "cramped_room"):
+    def __init__(self, layout: str = "cramped_room",
+                 shaped_rewards: bool = False):
+        # overcooked_ai's default shaped rewards (training aid; the
+        # oracle-equivalence tests run with the sparse default):
+        # +3 onion into pot, +3 dish pickup, +5 soup pickup
+        self.shaped_rewards = shaped_rewards
         rows = LAYOUTS[layout] if isinstance(layout, str) else layout
         self.layout_name = layout if isinstance(layout, str) else "custom"
         self.H = len(rows)
@@ -117,6 +122,9 @@ class Overcooked(EnvBase):
             "Obs", (N_AGENTS, H, W_, self.obs_channels), jnp.float32
         )
 
+        reg.register_singleton("Deliveries", (), jnp.int32)
+        reg.export_singleton("Deliveries", "deliveries")
+
         reg.import_singleton("Action", "action")
         reg.import_singleton("Reset", "reset")
         reg.export_singleton("Obs", "obs")
@@ -152,6 +160,7 @@ class Overcooked(EnvBase):
         s["PotCount"] = pick("PotCount", 0)
         s["PotTimer"] = pick("PotTimer", -1)
         s["ItemGrid"] = pick("ItemGrid", 0)
+        s["Deliveries"] = pick("Deliveries", 0)
         s["EpisodeStep"] = pick("EpisodeStep", 0)
         return dataclasses.replace(state, singletons=s)
 
@@ -172,6 +181,7 @@ class Overcooked(EnvBase):
         pot_cnt = s["PotCount"]
         pot_tmr = s["PotTimer"]
         reward = jnp.zeros((w,), jnp.float32)
+        deliveries = s["Deliveries"]
 
         # ---- movement (face first, then move if free; collision rule)
         is_move = act < 4
@@ -237,6 +247,12 @@ class Overcooked(EnvBase):
             # serving
             serve = ia & (tile == T_SERVE) & (h == H_SOUP)
             reward = reward + jnp.where(serve, DELIVERY_REWARD, 0.0)
+            deliveries = deliveries + serve.astype(jnp.int32)
+            if self.shaped_rewards:
+                reward = (
+                    reward
+                    + 3.0 * add_onion + 3.0 * grab_dish + 5.0 * take_soup
+                )
 
             # counters: put down on empty / pick up from occupied
             citem = items[widx, tr, tc]
@@ -267,6 +283,7 @@ class Overcooked(EnvBase):
         s["PotCount"] = pot_cnt
         s["PotTimer"] = pot_tmr
         s["Reward"] = reward
+        s["Deliveries"] = deliveries
         s["EpisodeStep"] = ep
         s["Done"] = (ep >= EPISODE_LEN).astype(jnp.int32)
         return dataclasses.replace(state, singletons=s)
