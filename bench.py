@@ -84,15 +84,19 @@ def main():
     per_step = [
         {k: v[t] for k, v in inputs.items()} for t in range(steps)
     ]
-    state, outs = step(state, per_step[0])  # compile
+    # two-step warmup: the first call compiles for the initial-state
+    # layouts, the second compiles the steady-state variant (XLA may
+    # pick different output layouts, so step(step(s)) re-specializes)
+    state, outs = step(state, per_step[0])
+    state, outs = step(state, per_step[1])
     jax.block_until_ready(outs["done"])
 
     t0 = time.perf_counter()
-    for t in range(1, steps):
+    for t in range(2, steps):
         state, outs = step(state, per_step[t])
     jax.block_until_ready(outs["done"])
     dt = time.perf_counter() - t0
-    steps = steps - 1
+    steps = steps - 2
 
     total_env_steps = (steps) * num_worlds
     rate = total_env_steps / dt
