@@ -16,6 +16,14 @@ Multi-host pods: call madrona_tpu.parallel.distributed.initialize()
 first (auto-detects on TPU pods); each host runs this same script.
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+
+
 import argparse
 import time
 

@@ -11,6 +11,14 @@ Usage: python examples/train_ppo_overcooked.py [--worlds 4096]
        [--updates 300]
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+
+
 import argparse
 import dataclasses
 import time

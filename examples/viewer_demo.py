@@ -9,6 +9,14 @@ src/viz/viewer.cpp (flycam + world switching + keyboard agent control);
 here the same loop is served over HTTP (madrona_tpu/viz/web_viewer.py).
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+
+
 import argparse
 
 from madrona_tpu.models.base import make_sim

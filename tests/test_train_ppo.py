@@ -46,3 +46,14 @@ def test_ppo_distributed_8dev_mesh():
     for s in shards[1:]:
         np.testing.assert_array_equal(s, shards[0])
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_torch_reinforce_bridge():
+    """Torch learner through TrainInterface.torch_step learns cartpole
+    (the reference's external-learner consumption path)."""
+    import train_ppo  # noqa: F401  (ensures examples on path)
+    import train_torch_reinforce as ttr
+
+    ep_len = ttr.main(["--worlds", "64", "--updates", "25",
+                       "--horizon", "48"])
+    assert ep_len > 40.0           # random policy is ~10-20
