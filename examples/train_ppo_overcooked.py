@@ -143,11 +143,11 @@ def make_train(num_worlds: int, cfg: PPOConfig, seed: int = 0):
             adam_step, ((pi_p, v_p), zeros, zeros),
             jnp.arange(cfg.epochs, dtype=jnp.float32),
         )
-        # deliveries per finished episode this rollout
+        # raw sums; the host accumulates across updates (episodes are
+        # 400 steps, a rollout is `horizon` — most rollouts finish none)
         finished = jnp.sum(frames["ep_done"])
         delivered = jnp.sum(frames["deliveries"] * frames["ep_done"])
-        per_ep = delivered / jnp.maximum(finished, 1.0)
-        return state, pi_p, v_p, rng, per_ep
+        return state, pi_p, v_p, rng, (delivered, finished)
 
     return sim, update, pi_params, v_params
 
@@ -168,19 +168,25 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 7)
 
     t0 = time.perf_counter()
-    per_ep = jnp.zeros(())
+    window = []
+    per_ep = 0.0
     for u in range(args.updates):
-        state, pi_p, v_p, rng, per_ep = update(state, pi_p, v_p, rng)
-        if (u + 1) % 20 == 0:
-            jax.block_until_ready(per_ep)
+        state, pi_p, v_p, rng, stats = update(state, pi_p, v_p, rng)
+        window.append(stats)
+        if (u + 1) % 50 == 0:
+            jax.block_until_ready(stats)
+            delivered = sum(float(d) for d, _ in window)
+            finished = sum(float(f) for _, f in window)
+            window = []
+            per_ep = delivered / max(finished, 1.0)
             dt = time.perf_counter() - t0
             sps = (u + 1) * cfg.horizon * args.worlds / dt
             print(
-                f"update {u+1:4d}  deliveries/episode {float(per_ep):5.2f}"
+                f"update {u+1:4d}  deliveries/episode {per_ep:5.2f}"
                 f"  ({sps:,.0f} env-steps/s incl. learner)  {dt:.0f}s"
             )
     print("done in", round(time.perf_counter() - t0, 1), "s")
-    return float(per_ep)
+    return per_ep
 
 
 if __name__ == "__main__":

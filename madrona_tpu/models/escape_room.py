@@ -200,9 +200,16 @@ class EscapeRoom(EnvBase):
         )
         reg.register_singleton("DoorObs", (N_AGENTS, N_ROOMS, 4), jnp.float32)
         reg.register_singleton("Lidar", (N_AGENTS, LIDAR_RAYS), jnp.float32)
+        flat_dim = (
+            8 + 3 + (N_CUBES + N_BUTTONS) * 4 + N_ROOMS * 4 + LIDAR_RAYS
+        )
+        reg.register_singleton(
+            "FlatObs", (N_AGENTS, flat_dim), jnp.float32
+        )
 
         reg.import_singleton("Action", "action")
         reg.import_singleton("Reset", "reset")
+        reg.export_singleton("FlatObs", "flat_obs")
         reg.export_singleton("SelfObs", "self_obs")
         reg.export_singleton("PartnerObs", "partner_obs")
         reg.export_singleton("EntityObs", "entity_obs")
@@ -727,6 +734,20 @@ class EscapeRoom(EnvBase):
         singles["EntityObs"] = entity_obs
         singles["DoorObs"] = door_obs
         singles["Lidar"] = lidar
+        # learner-friendly flat view: one [A, D] vector per agent, so a
+        # T-step rollout stacks to [T, W, A, D] with no per-field
+        # trailing-dim tile padding (the exports above stay for parity)
+        w_ = self_obs.shape[0]
+        singles["FlatObs"] = jnp.concatenate(
+            [
+                self_obs.reshape(w_, N_AGENTS, -1),
+                partner_obs.reshape(w_, N_AGENTS, -1),
+                entity_obs.reshape(w_, N_AGENTS, -1),
+                door_obs.reshape(w_, N_AGENTS, -1),
+                lidar.reshape(w_, N_AGENTS, -1),
+            ],
+            axis=-1,
+        )
         singles["Progress"] = new_prog
         singles["Reward"] = reward
         singles["EpisodeStep"] = ep

@@ -191,3 +191,21 @@ def test_worlds_differ_and_stay_independent(sim):
     p1, p2 = body_pos(s1), body_pos(s2)
     assert not np.allclose(p1[0], p2[0])
     np.testing.assert_array_equal(p1[1:], p2[1:])
+
+
+def test_flat_obs_concatenates_fields(sim):
+    step = sim.step_fn()
+    s, o = step(sim.state, zero_actions())
+    flat = np.asarray(o["flat_obs"])
+    w = flat.shape[0]
+    parts = np.concatenate(
+        [
+            np.asarray(o["self_obs"]).reshape(w, er.N_AGENTS, -1),
+            np.asarray(o["partner_obs"]).reshape(w, er.N_AGENTS, -1),
+            np.asarray(o["entity_obs"]).reshape(w, er.N_AGENTS, -1),
+            np.asarray(o["door_obs"]).reshape(w, er.N_AGENTS, -1),
+            np.asarray(o["lidar"]).reshape(w, er.N_AGENTS, -1),
+        ],
+        axis=-1,
+    )
+    np.testing.assert_array_equal(flat, parts)
