@@ -14,7 +14,7 @@ import dataclasses
 import json
 import os
 import struct
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

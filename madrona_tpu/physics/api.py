@@ -139,7 +139,8 @@ def write_back(sm: StateManager, state: SimState, body: BodyState) -> SimState:
 
 
 def _narrowphase_all(
-    body: BodyState, om: ObjectManager, cands: bp.Candidates
+    body: BodyState, om: ObjectManager, cands: bp.Candidates,
+    skip_hh: bool = False,
 ) -> Contacts:
     """Run the typed narrowphase kernels over the candidate buffers and
     emit the fixed-layout contact buffer (segments: [HH | HP | S]).
@@ -235,9 +236,20 @@ def _narrowphase_all(
 
     vv = lambda f: jax.vmap(jax.vmap(f))
 
-    blk_a, hrow_a, rad_a = pair_blocks(cands.hh[..., 0])
-    blk_b, hrow_b, _ = pair_blocks(cands.hh[..., 1])
-    hh = vv(hh_lane)(blk_a, hrow_a, blk_b, hrow_b, cands.hh)
+    if skip_hh:
+        # the caller fills the hh segment (Pallas lane); emit sentinels
+        p_hh = cands.hh.shape[1]
+        hh = (
+            jnp.full((w, p_hh), n, jnp.int32),
+            jnp.full((w, p_hh), n, jnp.int32),
+            jnp.zeros((w, p_hh, 4, 4), jnp.float32),
+            jnp.zeros((w, p_hh), jnp.int32),
+            jnp.zeros((w, p_hh, 3), jnp.float32),
+        )
+    else:
+        blk_a, hrow_a, rad_a = pair_blocks(cands.hh[..., 0])
+        blk_b, hrow_b, _ = pair_blocks(cands.hh[..., 1])
+        hh = vv(hh_lane)(blk_a, hrow_a, blk_b, hrow_b, cands.hh)
 
     blk_a, hrow_a, _ = pair_blocks(cands.hp[..., 0])
     blk_b, _, _ = pair_blocks(cands.hp[..., 1])
@@ -258,12 +270,15 @@ def _narrowphase_all(
 
 
 def _narrowphase_mixed_pallas(
-    body: BodyState, om: ObjectManager, cands: bp.Candidates
+    body: BodyState, om: ObjectManager, cands: bp.Candidates,
+    sublane: bool = False,
 ) -> Contacts:
     """Contacts with the hull-hull lane on the Pallas kernel and the
     cheap hull-plane / sphere lanes on the XLA path."""
-    full = _narrowphase_all(body, om, cands)
-    ref, alt, points, num, normal = narrowphase_hh_pallas(body, om, cands)
+    full = _narrowphase_all(body, om, cands, skip_hh=True)
+    ref, alt, points, num, normal = narrowphase_hh_pallas(
+        body, om, cands, sublane=sublane
+    )
     p = cands.hh.shape[1]
     return Contacts(
         ref=full.ref.at[:, :p].set(ref),
@@ -377,12 +392,13 @@ def make_physics_node(
     h = cfg.dt / cfg.substeps
     gravity = jnp.asarray(cfg.gravity, jnp.float32)
 
-    use_pallas = cfg.narrowphase == "pallas"
+    use_pallas = cfg.narrowphase in ("pallas", "pallas_sublane")
+    sublane = cfg.narrowphase == "pallas_sublane"
 
     def narrow(body, cands):
         if not use_pallas:
             return _narrowphase_all(body, om, cands)
-        return _narrowphase_mixed_pallas(body, om, cands)
+        return _narrowphase_mixed_pallas(body, om, cands, sublane=sublane)
 
     def physics_step(sm_, state: SimState, node_key) -> SimState:
         body = body_state(sm_, state)
@@ -501,9 +517,12 @@ def setup_physics_step_tasks(
     )
 
 
-def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256):
+def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
+                          sublane=False, pair_tile=8):
     """Pallas-kernel hull-hull lane (ops/narrowphase_pallas): same
-    outputs as the hh segment of _narrowphase_all."""
+    outputs as the hh segment of _narrowphase_all. ``sublane=True``
+    selects the pairs-in-sublanes variant (pair axis padded to the
+    pair-tile; the pad lanes carry the invalid-row sentinel)."""
     from ..ops import narrowphase_pallas as npk
 
     w, n = body.pos.shape[:2]
@@ -512,11 +531,24 @@ def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256):
     )  # [N, 10, W]
     obj_t = jnp.moveaxis(body.obj_id.astype(jnp.float32), 0, -1)  # [N, W]
     pairs_t = jnp.moveaxis(cands.hh, 0, -1)                       # [P, 2, W]
-    fn = npk.make_hh_narrowphase(
-        om.hull_dims, n, om.hull_pack.shape[0],
-        tile_w=min(tile_w, w), interpret=interpret,
-    )
-    rec = fn(nb_t, obj_t, pairs_t, om.hull_pack)     # [P, 22, W]
+    p_real = pairs_t.shape[0]
+    if sublane:
+        pt = pair_tile
+        p_pad = -(-p_real // pt) * pt
+        if p_pad != p_real:
+            pad = jnp.full((p_pad - p_real, 2, w), n, pairs_t.dtype)
+            pairs_t = jnp.concatenate([pairs_t, pad], axis=0)
+        fn = npk.make_hh_narrowphase_sublane(
+            om.hull_dims, n, om.hull_pack.shape[0], pair_tile=pt,
+            tile_w=min(128, w), interpret=interpret,
+        )
+        rec = fn(nb_t, obj_t, pairs_t, om.hull_pack_planar)[:p_real]
+    else:
+        fn = npk.make_hh_narrowphase(
+            om.hull_dims, n, om.hull_pack.shape[0],
+            tile_w=min(tile_w, w), interpret=interpret,
+        )
+        rec = fn(nb_t, obj_t, pairs_t, om.hull_pack)  # [P, 22, W]
     rec = jnp.moveaxis(rec, -1, 0)                   # [W, P, 22]
     ref = rec[..., 0].astype(jnp.int32)
     alt = rec[..., 1].astype(jnp.int32)

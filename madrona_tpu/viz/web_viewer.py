@@ -28,7 +28,7 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
-from .viewer import render_topdown, save_png
+from .viewer import render_topdown
 
 
 def _png_bytes(img: np.ndarray) -> bytes:

@@ -59,3 +59,35 @@ def test_pallas_matches_jax_narrowphase(scene):
                     np.asarray(pts_p)[w, p, :k], pts_j[w, p, :k],
                     atol=3e-4,
                 )
+
+
+def test_pallas_sublane_matches_jax_narrowphase(scene):
+    """Pairs-in-sublanes variant (pair axis padded to the pair tile)."""
+    env, body, cands = scene
+    om = env.om
+    contacts = api._narrowphase_all(body, om, cands)
+    P = env.caps.hull_hull
+    ref_j = np.asarray(contacts.ref[:, :P])
+    alt_j = np.asarray(contacts.alt[:, :P])
+    num_j = np.asarray(contacts.num[:, :P])
+    nrm_j = np.asarray(contacts.normal[:, :P])
+    pts_j = np.asarray(contacts.points[:, :P])
+
+    ref_p, alt_p, pts_p, num_p, nrm_p = api.narrowphase_hh_pallas(
+        body, om, cands, interpret=True, sublane=True, pair_tile=8
+    )
+    np.testing.assert_array_equal(np.asarray(ref_p), ref_j)
+    np.testing.assert_array_equal(np.asarray(alt_p), alt_j)
+    np.testing.assert_array_equal(np.asarray(num_p), num_j)
+    active = num_j > 0
+    np.testing.assert_allclose(
+        np.asarray(nrm_p)[active], nrm_j[active], atol=2e-5
+    )
+    for w in range(pts_j.shape[0]):
+        for p in range(P):
+            k = num_j[w, p]
+            if k > 0:
+                np.testing.assert_allclose(
+                    np.asarray(pts_p)[w, p, :k], pts_j[w, p, :k],
+                    atol=3e-4,
+                )
