@@ -160,8 +160,14 @@ class HideSeek(EnvBase):
 
         self.cfg = env_override(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, narrowphase_once=True,
-            # whole-substep megakernel on accelerators (see escape_room)
+            # whole-substep megakernel + sublane narrowphase kernel on
+            # accelerators (see escape_room): 417k -> 535k steps/s at
+            # 2048 worlds on one v5e chip
             megakernel=jax.default_backend() != "cpu",
+            narrowphase=(
+                "pallas_sublane" if jax.default_backend() != "cpu"
+                else "xla"
+            ),
         ))
         self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=7, sphere_any=1)
         self.rcfg = RenderConfig(
