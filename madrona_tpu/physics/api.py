@@ -271,13 +271,13 @@ def _narrowphase_all(
 
 def _narrowphase_mixed_pallas(
     body: BodyState, om: ObjectManager, cands: bp.Candidates,
-    sublane: bool = False,
+    sublane: bool = False, pair_tile: int = 8,
 ) -> Contacts:
     """Contacts with the hull-hull lane on the Pallas kernel and the
     cheap hull-plane / sphere lanes on the XLA path."""
     full = _narrowphase_all(body, om, cands, skip_hh=True)
     ref, alt, points, num, normal = narrowphase_hh_pallas(
-        body, om, cands, sublane=sublane
+        body, om, cands, sublane=sublane, pair_tile=pair_tile
     )
     p = cands.hh.shape[1]
     return Contacts(
@@ -398,7 +398,10 @@ def make_physics_node(
     def narrow(body, cands):
         if not use_pallas:
             return _narrowphase_all(body, om, cands)
-        return _narrowphase_mixed_pallas(body, om, cands, sublane=sublane)
+        return _narrowphase_mixed_pallas(
+            body, om, cands, sublane=sublane,
+            pair_tile=cfg.narrowphase_pair_tile,
+        )
 
     def physics_step(sm_, state: SimState, node_key) -> SimState:
         body = body_state(sm_, state)

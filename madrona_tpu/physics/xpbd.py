@@ -66,6 +66,10 @@ class PhysicsConfig:
     megakernel: bool = False
     # world-lane tile of the megakernel grid (tuning knob)
     megakernel_tile: int = 128
+    # pair tile of the sublane narrowphase kernel (pairs pad up to it).
+    # 8 is the VMEM-feasible point for box-class hulls at tile_w=128
+    # (16 exceeds scoped vmem by ~8M; 4 also fails to place)
+    narrowphase_pair_tile: int = 8
 
 
 @jax.tree_util.register_dataclass
