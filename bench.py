@@ -44,7 +44,12 @@ def pick_flagship():
     if which == "hide_seek_pixels":
         from madrona_tpu.models.hide_seek import HideSeek
 
-        return "hide_seek_pixels", HideSeek(render_size=16), worlds or 2048, 100
+        k = int(os.environ.get("MADRONA_TPU_BENCH_TLAS_K", "0"))
+        return (
+            "hide_seek_pixels",
+            HideSeek(render_size=16, tlas_max_instances=k),
+            worlds or 1024, 100,
+        )
     try:
         from madrona_tpu.models.escape_room import EscapeRoom
 

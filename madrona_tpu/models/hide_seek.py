@@ -150,7 +150,8 @@ class HideSeek(EnvBase):
     action_shape = (N_AGENTS, 5)
     action_buckets = (4, 8, 5, 2, 2)
 
-    def __init__(self, render_size: int = 32, pixels: bool = True):
+    def __init__(self, render_size: int = 32, pixels: bool = True,
+                 tlas_max_instances: int = 0):
         self.om, self.obj = _make_objects()
         self.mesh, self.mobj = _make_meshes()
         self.pixels = pixels
@@ -185,6 +186,9 @@ class HideSeek(EnvBase):
             self.mesh, self.rcfg, RIGID_BODY, render_obj,
             camera_rows=list(range(ROW_AGENT0, ROW_AGENT0 + N_AGENTS)),
             camera_offset=(0.0, 0.3, 0.6),
+            # >0: per-view TLAS top-K cull — bounds the [K, T, R] trace
+            # tensors so the pixel path scales past ~1k worlds
+            tlas_max_instances=tlas_max_instances,
         )
 
     @staticmethod

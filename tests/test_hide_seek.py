@@ -231,3 +231,22 @@ def test_team_owned_locks(sim):
         s.tables[hs.RIGID_BODY].columns["ResponseType"]
     )[:, hs.ROW_BOX0]
     assert (resp == 2).all()       # seeker-locked is still static
+
+
+def test_pixels_with_tlas_culling():
+    """The TLAS-culled pixel path steps, stays deterministic, and keeps
+    foreground geometry (nearest-K cull)."""
+    s_im = make_sim(
+        HideSeek(render_size=16, tlas_max_instances=8), num_worlds=2,
+        seed=4, donate=False,
+    )
+    step = s_im.step_fn()
+    a = jnp.zeros((2, hs.N_AGENTS, 5), jnp.int32)
+    s1, o1 = step(s_im.state, {"action": a, "reset": jnp.zeros((2,), jnp.int32)})
+    s2, o2 = step(s_im.state, {"action": a, "reset": jnp.zeros((2,), jnp.int32)})
+    np.testing.assert_array_equal(np.asarray(o1["rgb"]), np.asarray(o2["rgb"]))
+    assert np.isfinite(np.asarray(o1["depth"])).all()
+    # something visible: not every pixel is sky
+    rgb = np.asarray(o1["rgb"])
+    sky = np.asarray(HideSeek().rcfg.sky_color)
+    assert (np.abs(rgb - sky).sum(-1) > 0.05).mean() > 0.1
