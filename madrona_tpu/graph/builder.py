@@ -186,6 +186,41 @@ class TaskGraphBuilder:
         return TaskGraph(self.sm, self.name, list(self.nodes))
 
 
+class TaskGraphManager:
+    """Hands out named builders so one app declares several taskgraphs
+    (reference ``TaskGraphManager::init(enum)``,
+    ``include/madrona/taskgraph_builder.hpp:93-108`` — apps build e.g.
+    separate init/step/render graphs and select one per ``run()``).
+
+    Usage in an env's ``setup_graphs(self, mgr)``::
+
+        step = mgr.init("step")
+        step.parallel_for(...)
+        render = mgr.init("render")
+        render.custom(...)
+
+    ``build_all()`` freezes every declared graph; the Executor takes the
+    resulting dict and ``run(("step", "render"))`` composes them into one
+    launch (the CUDA-graph ``buildLaunchGraph`` analogue).
+    """
+
+    def __init__(self, sm: StateManager):
+        self.sm = sm
+        self._builders: "dict[str, TaskGraphBuilder]" = {}
+
+    def init(self, name: str) -> TaskGraphBuilder:
+        if name in self._builders:
+            raise ValueError(f"taskgraph {name!r} already declared")
+        b = TaskGraphBuilder(self.sm, name)
+        self._builders[name] = b
+        return b
+
+    def build_all(self) -> "dict[str, TaskGraph]":
+        if not self._builders:
+            raise ValueError("no taskgraphs declared")
+        return {n: b.build() for n, b in self._builders.items()}
+
+
 class TaskGraph:
     """A frozen node list, applied functionally to a SimState."""
 

@@ -26,7 +26,7 @@ import jax
 
 from ..core.registry import ECSRegistry
 from ..core.state import SimState, StateManager
-from ..graph.builder import TaskGraphBuilder
+from ..graph.builder import TaskGraphBuilder, TaskGraphManager
 from ..graph.executor import Executor
 
 
@@ -39,15 +39,27 @@ class EnvBase:
 
     Class attrs: ``name``, ``action_spec`` (shape/dtype of the per-world
     action input), ``num_agents`` (actions arrive [W, num_agents, ...]).
+
+    Envs with a single graph implement ``setup_tasks(builder)``; envs
+    with several (init/step/render — reference
+    ``TaskGraphManager::init(enum)``,
+    ``include/madrona/taskgraph_builder.hpp:93-108``) implement
+    ``setup_graphs(mgr)`` instead and pick graphs per ``Sim.step``.
+    ``default_launch`` names the graph tuple ``Sim.step()`` runs.
     """
 
     name = "env"
+    default_launch = ("step",)
 
     def register_types(self, reg: ECSRegistry):
         raise NotImplementedError
 
     def setup_tasks(self, builder: TaskGraphBuilder):
         raise NotImplementedError
+
+    def setup_graphs(self, mgr: "TaskGraphManager"):
+        """Multi-graph hook; default wires ``setup_tasks`` as "step"."""
+        self.setup_tasks(mgr.init("step"))
 
     def init_worlds(self, sm: StateManager, state: SimState) -> SimState:
         return state
@@ -66,12 +78,12 @@ def make_sim(
     sm = StateManager()
     reg = ECSRegistry(sm)
     env.register_types(reg)
-    builder = TaskGraphBuilder(sm, "step")
-    env.setup_tasks(builder)
-    graph = builder.build()
+    mgr = TaskGraphManager(sm)
+    env.setup_graphs(mgr)
+    graphs = mgr.build_all()
     ex = Executor(
         sm,
-        {"step": graph},
+        graphs,
         num_worlds=num_worlds,
         seed=seed,
         init_fn=env.init_worlds,
@@ -97,13 +109,21 @@ class Sim:
     def state(self, s: SimState):
         self.executor.state = s
 
-    def step(self, inputs: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-        return self.executor.run(("step",), inputs)
+    def step(
+        self, inputs: Optional[Dict[str, Any]] = None, launch=None
+    ) -> Dict[str, Any]:
+        launch = launch or getattr(self.env, "default_launch", ("step",))
+        return self.executor.run(launch, inputs)
 
-    def step_fn(self) -> Callable:
+    def step_fn(self, launch=None) -> Callable:
         """Pure jitted ``(state, inputs) -> (state, outputs)`` for use
-        inside learner scan loops (zero host involvement per step)."""
-        return self.executor.step_fn(("step",))
+        inside learner scan loops (zero host involvement per step).
+
+        ``launch`` selects which named taskgraphs compose the step
+        (reference ``buildLaunchGraph([ids])``); defaults to the env's
+        ``default_launch``."""
+        launch = launch or getattr(self.env, "default_launch", ("step",))
+        return self.executor.step_fn(launch)
 
 
 def rollout(sim: Sim, actions_seq, unroll: int = 1):

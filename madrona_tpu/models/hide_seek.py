@@ -233,9 +233,19 @@ class HideSeek(EnvBase):
         n_phys = papi.setup_physics_step_tasks(
             b, self.om, self.cfg, self.caps, deps=[n_act]
         )
-        n_post = b.custom(self._post_system, deps=[n_phys], name="hs_post")
+        b.custom(self._post_system, deps=[n_phys], name="hs_post")
+
+    def setup_graphs(self, mgr):
+        """Separate "step" (sim) and "render" (raycast) graphs — the
+        reference pattern of one taskgraph per enum selected at run time
+        (``include/madrona/taskgraph_builder.hpp:93-108``; the CUDA
+        renderer likewise runs as its own graph, ``buildRenderGraph``,
+        ``src/mw/cuda_exec.cpp:2527-2700``). A learner that only needs
+        state obs can launch ("step",) and skip the raycast entirely."""
+        self.setup_tasks(mgr.init("step"))
         if self.pixels:
-            self.rsys.setup_tasks(b, deps=[n_post])
+            self.rsys.setup_tasks(mgr.init("render"))
+            self.default_launch = ("step", "render")
 
     def init_worlds(self, sm, state):
         singles = dict(state.singletons)

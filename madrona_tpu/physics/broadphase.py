@@ -7,8 +7,10 @@ walks it per leaf to emit ``CandidateCollision`` temporaries
 example-env body counts (tens per world), the all-pairs masked test is a
 single fused VPU op over the upper-triangle enumeration and beats tree
 traversal by a wide margin — SURVEY.md §7 explicitly calls for "masked
-pairs first, LBVH later". The LBVH path lives with the renderer
-(render/bvh.py) where instance counts are larger.
+pairs first, LBVH later". For many-body worlds there is a sweep-and-prune
+tier (``find_candidates_swept``, selected by ``PhysicsConfig.broadphase``)
+— the analogue of the reference's tree walk; the renderer's LBVH lives in
+render/tlas.py where instance counts are larger.
 
 Parity notes:
   * AABBs are expanded by velocity (BVH::expandLeaf semantics,

@@ -86,27 +86,45 @@ def summarize(path, top, steps):
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
         ev_names = {i: m.name for i, m in plane.event_metadata.items()}
-        totals = collections.Counter()
-        counts = collections.Counter()
-        total_ns = 0
-        for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname or "xla op" in lname:
-                continue  # avoid double counting; use module-level lines
-            for ev in line.events:
-                name = ev_names.get(ev.metadata_id, "?")
-                dur = ev.duration_ps / 1e3
-                totals[name] += dur
-                counts[name] += 1
-                total_ns += dur
-        if not totals:
-            continue
-        print(f"\n== plane: {plane.name} (total {total_ns/1e6/steps:.3f} "
-              f"ms/step over {steps} steps)")
-        width = max(len(n) for n, _ in totals.most_common(top))
-        for name, ns in totals.most_common(top):
-            print(f"  {name:<{width}}  {ns/1e6/steps:8.4f} ms/step  "
-                  f"x{counts[name]//steps}")
+
+        def tally(pred):
+            totals = collections.Counter()
+            counts = collections.Counter()
+            total_ns = 0
+            for line in plane.lines:
+                if not pred(line.name.lower()):
+                    continue
+                for ev in line.events:
+                    name = ev_names.get(ev.metadata_id, "?")
+                    dur = ev.duration_ps / 1e3
+                    totals[name] += dur
+                    counts[name] += 1
+                    total_ns += dur
+            return totals, counts, total_ns
+
+        # module-level (whole-program) line
+        totals, counts, total_ns = tally(
+            lambda n: "step" not in n and "xla op" not in n
+        )
+        if totals:
+            print(f"\n== plane: {plane.name} (total "
+                  f"{total_ns/1e6/steps:.3f} ms/step over {steps} steps)")
+            width = max(len(n) for n, _ in totals.most_common(top))
+            for name, ns in totals.most_common(top):
+                print(f"  {name:<{width}}  {ns/1e6/steps:8.4f} ms/step  "
+                      f"x{counts[name]//steps}")
+
+        # op-level self-time line ("XLA Ops"), the real breakdown
+        totals, counts, total_ns = tally(lambda n: "xla op" in n)
+        if totals:
+            print(f"\n-- op self-times ({total_ns/1e6/steps:.3f} ms/step "
+                  f"accounted)")
+            width = min(
+                90, max(len(n) for n, _ in totals.most_common(top))
+            )
+            for name, ns in totals.most_common(top):
+                print(f"  {name[:width]:<{width}}  {ns/1e6/steps:8.4f} "
+                      f"ms/step  x{counts[name]//steps}")
 
 
 if __name__ == "__main__":

@@ -430,3 +430,126 @@ def test_knowledge_shifts_on_removal():
     kc_after = np.asarray(s.singletons["KnowColor"])[0, other]
     np.testing.assert_array_equal(kc_after[:4], kc_before[1:])
     assert kc_after[4].tolist() == [1] * 5     # fresh draw: all possible
+
+
+# ----------------------------------------------- rule-derived vectors
+# These assert public HLE/Hanabi rules on hand-stacked states, fully
+# independent of the NumPy twin (PARITY.md oracle caveat): the expected
+# values below are derived from the published rules of Hanabi, not from
+# running any oracle.
+
+
+def _stacked_state(sim, **overrides):
+    """Set singletons of world 0 to a known configuration."""
+    import dataclasses
+
+    s = dict(sim.state.singletons)
+    overrides.setdefault("FinalTurns", -1)   # deck not out
+    overrides.setdefault("DeckPos", 20)
+    for k, v in overrides.items():
+        arr = np.asarray(s[k]).copy()
+        arr[0] = v
+        s[k] = jnp.asarray(arr)
+    return dataclasses.replace(sim.state, singletons=s)
+
+
+def _rule_sim():
+    sim = make_sim(Hanabi(), num_worlds=1, seed=3, donate=False)
+    return sim, sim.step_fn()
+
+
+def _step0(sim, step, state, action):
+    acts = np.zeros((1, 2), np.int32)
+    acts[0, :] = action
+    return step(
+        state, {"action": jnp.asarray(acts),
+                "reset": jnp.zeros((1,), jnp.int32)}
+    )
+
+
+def test_rule_play_correct_card_scores():
+    """Playing the next rank of a color raises that firework by one and
+    scores exactly one point (rule: fireworks ascend 1..5 per color)."""
+    sim, step = _rule_sim()
+    # card id 0 = color 0, rank 0; empty fireworks -> playable
+    st = _stacked_state(
+        sim, Hands=[[0, 10, 20, 30, 40], [1, 11, 21, 31, 41]],
+        Fireworks=[0] * 5, Info=4, Lives=3, CurPlayer=0, Score=0,
+        Done=0, Reset=0,
+    )
+    st, o = _step0(sim, step, st, H.HAND + 0)  # play slot 0
+    assert int(np.asarray(st.singletons["Fireworks"])[0, 0]) == 1
+    assert float(o["reward"][0]) == 1.0
+    assert int(o["score"][0]) == 1
+    assert int(np.asarray(st.singletons["Lives"])[0]) == 3
+
+
+def test_rule_misplay_burns_life_not_score():
+    sim, step = _rule_sim()
+    # card id 9 = color 0, rank 4 — not playable on an empty firework
+    st = _stacked_state(
+        sim, Hands=[[9, 10, 20, 30, 40], [1, 11, 21, 31, 41]],
+        Fireworks=[0] * 5, Info=4, Lives=3, CurPlayer=0, Score=0,
+        Done=0, Reset=0,
+    )
+    st, o = _step0(sim, step, st, H.HAND + 0)
+    assert int(np.asarray(st.singletons["Lives"])[0]) == 2
+    assert int(o["score"][0]) == 0
+    assert float(o["reward"][0]) == 0.0
+    # misplayed card goes to the discard pile (type color0 rank4 = 4)
+    assert int(np.asarray(st.singletons["DiscardCount"])[0, 4]) == 1
+
+
+def test_rule_hint_costs_token_discard_regains():
+    sim, step = _rule_sim()
+    st = _stacked_state(
+        sim, Hands=[[0, 10, 20, 30, 40], [1, 11, 21, 31, 41]],
+        Info=4, Lives=3, CurPlayer=0, Done=0, Reset=0,
+    )
+    # hint color 0 to the other player (action 2h + color)
+    st, _ = _step0(sim, step, st, 2 * H.HAND + 0)
+    assert int(np.asarray(st.singletons["Info"])[0]) == 3
+    # now player 1 discards slot 0 -> token returns
+    st, _ = _step0(sim, step, st, 0)
+    assert int(np.asarray(st.singletons["Info"])[0]) == 4
+
+
+def test_rule_completing_firework_grants_bonus_token():
+    """Finishing a color's firework (playing its 5) restores one info
+    token even without discarding (HLE rule)."""
+    sim, step = _rule_sim()
+    # card id 9 = color 0, rank 4 (the "5"); firework 0 at height 4
+    st = _stacked_state(
+        sim, Hands=[[9, 10, 20, 30, 40], [1, 11, 21, 31, 41]],
+        Fireworks=[4, 0, 0, 0, 0], Info=2, Lives=3, CurPlayer=0,
+        Score=4, Done=0, Reset=0,
+    )
+    st, o = _step0(sim, step, st, H.HAND + 0)
+    assert int(np.asarray(st.singletons["Fireworks"])[0, 0]) == 5
+    assert int(np.asarray(st.singletons["Info"])[0]) == 3
+    assert float(o["reward"][0]) == 1.0
+
+
+def test_rule_discard_illegal_at_max_tokens():
+    sim, step = _rule_sim()
+    st = _stacked_state(
+        sim, Hands=[[0, 10, 20, 30, 40], [1, 11, 21, 31, 41]],
+        Info=H.MAX_INFO, CurPlayer=0, Done=0, Reset=0,
+    )
+    # legal_moves export reflects the *post-step* state for the next
+    # player; compute directly instead
+    lm = np.asarray(H._legal_moves(sim.env, dict(st.singletons)))
+    assert (lm[0, :H.HAND] == 0).all()          # discards illegal
+    assert (lm[0, H.HAND:2 * H.HAND] == 1).all()  # plays legal
+
+
+def test_rule_out_of_lives_zeroes_score():
+    sim, step = _rule_sim()
+    st = _stacked_state(
+        sim, Hands=[[9, 10, 20, 30, 40], [1, 11, 21, 31, 41]],
+        Fireworks=[0, 3, 0, 0, 0], Info=4, Lives=1, CurPlayer=0,
+        Score=3, Done=0, Reset=0,
+    )
+    st, o = _step0(sim, step, st, H.HAND + 0)   # misplay with 1 life left
+    assert int(o["done"][0]) == 1
+    assert int(o["score"][0]) == 0              # HLE: death zeroes score

@@ -200,3 +200,38 @@ def test_launch_graph_composition():
         np.asarray(ex.state.tables["Mover"].columns["Pos"][0, :6]),
         np.arange(6) + 1.0,
     )
+
+
+def test_taskgraph_manager_multi_graph_env():
+    """Envs can declare multiple named graphs via setup_graphs (reference
+    TaskGraphManager::init(enum), taskgraph_builder.hpp:93-108) and pick
+    which compose a launch."""
+    from madrona_tpu.graph.builder import TaskGraphManager
+    from madrona_tpu.models.base import EnvBase, make_sim
+
+    class TwoGraph(EnvBase):
+        name = "twograph"
+        default_launch = ("step", "extra")
+
+        def register_types(self, reg):
+            reg.register_component("Pos", (3,))
+            reg.register_component("Vel", (3,))
+            reg.register_archetype("Mover", ["Pos", "Vel"], capacity=8)
+            reg.register_singleton("Hits", (), jnp.int32)
+            reg.export_singleton("Hits", "hits")
+
+        def setup_graphs(self, mgr: TaskGraphManager):
+            s = mgr.init("step")
+            s.parallel_for(movement, "Mover", ["Pos", "Vel"], ["Pos"])
+            e = mgr.init("extra")
+            e.for_worlds(lambda ctx, c: c + 1, ["Hits"], ["Hits"])
+
+    sim = make_sim(TwoGraph(), num_worlds=4, jit=False)
+    # default launch runs both graphs
+    out = sim.step()
+    assert (np.asarray(out["hits"]) == 1).all()
+    # step-only launch skips the extra graph
+    out = sim.step(launch=("step",))
+    assert (np.asarray(out["hits"]) == 1).all()
+    out = sim.step(launch=("extra",))
+    assert (np.asarray(out["hits"]) == 2).all()
