@@ -27,6 +27,53 @@ class ImportedMesh:
     normals: np.ndarray      # [V, 3] f32 (zeros if absent)
     indices: np.ndarray      # [T, 3] i32
     name: str = ""
+    uvs: np.ndarray = None   # [V, 2] f32 (None if absent)
+    material: int = -1       # index into ImportedAssets.materials
+
+
+@dataclasses.dataclass
+class ImportedMaterial:
+    """Reference ``SourceMaterial`` (importer.hpp:86-96): base color +
+    metallic/roughness + optional base-color texture index."""
+
+    name: str = ""
+    base_color: np.ndarray = None      # [4] RGBA factor
+    metallic: float = 0.0
+    roughness: float = 1.0
+    texture: int = -1                  # index into ImportedAssets.textures
+
+    def __post_init__(self):
+        if self.base_color is None:
+            self.base_color = np.ones(4, np.float32)
+
+
+@dataclasses.dataclass
+class ImportedTexture:
+    """Reference ``SourceTexture`` (importer.hpp:98-110); decoded to
+    RGBA8 via PIL (the reference binds stb/png/jpg loaders in
+    src/importer/img)."""
+
+    name: str
+    data: np.ndarray                   # [H, W, 4] u8
+
+
+@dataclasses.dataclass
+class ImportedAssets:
+    """Reference ``ImportedAssets`` (importer.hpp:114-130): everything
+    one asset file contributes."""
+
+    meshes: List[ImportedMesh]
+    materials: List["ImportedMaterial"]
+    textures: List["ImportedTexture"]
+
+
+def _decode_image(data: bytes, name: str = "") -> ImportedTexture:
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGBA")
+    return ImportedTexture(name, np.asarray(img, np.uint8))
 
 
 def load_obj(path: str) -> ImportedMesh:
@@ -84,8 +131,14 @@ _NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
 
 
 def load_gltf(path: str) -> List[ImportedMesh]:
-    """Minimal glTF 2.0 reader: embedded/.bin buffers, triangle prims
-    (reference: src/importer/gltf.cpp, 2.4k LoC with simdjson)."""
+    """Geometry-only glTF read (see ``import_assets`` for materials)."""
+    return _load_gltf_raw(path)[0]
+
+
+def _load_gltf_raw(path: str):
+    """Minimal glTF 2.0 reader: embedded/.bin buffers, triangle prims,
+    UVs + material indices (reference: src/importer/gltf.cpp, 2.4k LoC
+    with simdjson)."""
     if path.endswith(".glb"):
         with open(path, "rb") as f:
             magic, _ver, _len = struct.unpack("<III", f.read(12))
@@ -147,6 +200,13 @@ def load_gltf(path: str) -> List[ImportedMesh]:
                 if "NORMAL" in prim["attributes"]
                 else np.zeros_like(pos)
             )
+            uv = (
+                read_accessor(
+                    prim["attributes"]["TEXCOORD_0"]
+                ).astype(np.float32)
+                if "TEXCOORD_0" in prim["attributes"]
+                else None
+            )
             if "indices" in prim:
                 idx = read_accessor(prim["indices"]).reshape(-1, 3)
             else:
@@ -155,13 +215,64 @@ def load_gltf(path: str) -> List[ImportedMesh]:
                 ImportedMesh(
                     pos, nrm, idx.astype(np.int32),
                     mesh.get("name", ""),
+                    uvs=uv, material=prim.get("material", -1),
                 )
             )
-    return out
+    return out, doc, buffers
+
+
+def _gltf_materials(doc, buffers, base_dir):
+    """Parse glTF materials + decode their images (gltf.cpp's material
+    section; importer.hpp:86-110)."""
+    textures = []
+    tex_of_image = {}
+
+    def image_texture(img_idx):
+        if img_idx in tex_of_image:
+            return tex_of_image[img_idx]
+        img = doc["images"][img_idx]
+        if "uri" in img:
+            uri = img["uri"]
+            if uri.startswith("data:"):
+                data = base64.b64decode(uri.split(",", 1)[1])
+            else:
+                with open(os.path.join(base_dir, uri), "rb") as f:
+                    data = f.read()
+        else:
+            view = doc["bufferViews"][img["bufferView"]]
+            off = view.get("byteOffset", 0)
+            data = buffers[view.get("buffer", 0)][
+                off:off + view["byteLength"]
+            ]
+        tex = _decode_image(data, img.get("name", f"image{img_idx}"))
+        tex_of_image[img_idx] = len(textures)
+        textures.append(tex)
+        return tex_of_image[img_idx]
+
+    materials = []
+    for m in doc.get("materials", []):
+        pbr = m.get("pbrMetallicRoughness", {})
+        tex = -1
+        if "baseColorTexture" in pbr:
+            src = doc["textures"][
+                pbr["baseColorTexture"]["index"]
+            ].get("source")
+            if src is not None:
+                tex = image_texture(src)
+        materials.append(ImportedMaterial(
+            name=m.get("name", ""),
+            base_color=np.asarray(
+                pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32
+            ),
+            metallic=float(pbr.get("metallicFactor", 1.0)),
+            roughness=float(pbr.get("roughnessFactor", 1.0)),
+            texture=tex,
+        ))
+    return materials, textures
 
 
 def import_from_disk(path: str) -> List[ImportedMesh]:
-    """AssetImporter::importFromDisk dispatch."""
+    """AssetImporter::importFromDisk dispatch (geometry only)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
         return [load_obj(path)]
@@ -172,3 +283,78 @@ def import_from_disk(path: str) -> List[ImportedMesh]:
 
         return load_usd(path)
     raise ValueError(f"unsupported asset format: {ext}")
+
+
+def _load_obj_mtl(path: str):
+    """OBJ sidecar .mtl: Kd + map_Kd of each material; the mesh's first
+    ``usemtl`` wins (the native OBJ path imports geometry; material
+    resolution happens here — reference obj.cpp + importer.hpp:86-110)."""
+    mtllib = None
+    usemtl = None
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "mtllib" and mtllib is None:
+                mtllib = line.split(None, 1)[1].strip()
+            elif t[0] == "usemtl" and usemtl is None:
+                usemtl = t[1]
+    if mtllib is None or usemtl is None:
+        return [], [], -1
+    mtl_path = os.path.join(os.path.dirname(path), mtllib)
+    if not os.path.exists(mtl_path):
+        return [], [], -1
+    materials, textures = [], []
+    cur = None
+    sel = -1
+    with open(mtl_path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "newmtl":
+                cur = ImportedMaterial(name=t[1])
+                materials.append(cur)
+                if t[1] == usemtl:
+                    sel = len(materials) - 1
+            elif cur is not None and t[0] == "Kd":
+                cur.base_color = np.asarray(
+                    [float(t[1]), float(t[2]), float(t[3]), 1.0],
+                    np.float32,
+                )
+            elif cur is not None and t[0] == "Ns":
+                # shininess -> rough approximation
+                cur.roughness = float(
+                    np.clip(1.0 - float(t[1]) / 1000.0, 0.0, 1.0)
+                )
+            elif cur is not None and t[0] == "map_Kd":
+                tex_file = os.path.join(
+                    os.path.dirname(mtl_path), line.split(None, 1)[1].strip()
+                )
+                if os.path.exists(tex_file):
+                    with open(tex_file, "rb") as tf:
+                        textures.append(
+                            _decode_image(tf.read(), os.path.basename(tex_file))
+                        )
+                    cur.texture = len(textures) - 1
+    return materials, textures, sel
+
+
+def import_assets(path: str) -> ImportedAssets:
+    """Full import: geometry + materials + decoded textures (reference
+    ``AssetImporter::importFromDisk`` → ``ImportedAssets``,
+    importer.hpp:114-130)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".gltf", ".glb"):
+        meshes, doc, buffers = _load_gltf_raw(path)
+        materials, textures = _gltf_materials(
+            doc, buffers, os.path.dirname(path)
+        )
+        return ImportedAssets(meshes, materials, textures)
+    if ext == ".obj":
+        mesh = load_obj(path)
+        materials, textures, sel = _load_obj_mtl(path)
+        mesh.material = sel
+        return ImportedAssets([mesh], materials, textures)
+    return ImportedAssets(import_from_disk(path), [], [])

@@ -144,3 +144,22 @@ def rollout(sim: Sim, actions_seq, unroll: int = 1):
     )
     sim.state = final_state
     return outs
+
+
+def rollout_flat(sim: Sim, actions_seq, unroll: int = 1):
+    """Like :func:`rollout` but keeps only the learner-facing slots
+    (``flat_obs``/``obs``, ``reward``, ``done``), so the scan's stacked
+    carry stays small — the rollout-buffer shape PPO consumes directly:
+    obs [T, W, A, D], reward [T, W, ...], done [T, W]."""
+    fn = sim.step_fn()
+    keep = ("flat_obs", "obs", "reward", "done")
+
+    def body(state, acts):
+        state, outs = fn(state, acts)
+        return state, {k: outs[k] for k in keep if k in outs}
+
+    final_state, outs = jax.lax.scan(
+        body, sim.state, actions_seq, unroll=unroll
+    )
+    sim.state = final_state
+    return outs

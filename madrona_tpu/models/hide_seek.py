@@ -217,10 +217,21 @@ class HideSeek(EnvBase):
         reg.register_singleton("Locked", (N_MOVABLE,), jnp.int32)
         reg.register_singleton("SelfObs", (N_AGENTS, 10), jnp.float32)
         reg.register_singleton("Visible", (N_SEEKERS, N_HIDERS), jnp.int32)
+        # learner-friendly flat per-agent vector (see escape_room
+        # FlatObs): self(10) + rel agents (A*3) + rel movables (M*3)
+        # + locked (M) + visibility (S*H)
+        flat_dim = (
+            10 + N_AGENTS * 3 + N_MOVABLE * 3 + N_MOVABLE
+            + N_SEEKERS * N_HIDERS
+        )
+        reg.register_singleton(
+            "FlatObs", (N_AGENTS, flat_dim), jnp.float32
+        )
 
         reg.import_singleton("Action", "action")
         reg.import_singleton("Reset", "reset")
         reg.export_singleton("SelfObs", "self_obs")
+        reg.export_singleton("FlatObs", "flat_obs")
         reg.export_singleton("Reward", "reward")
         reg.export_singleton("Done", "done")
         reg.export_singleton("Visible", "visible")
@@ -632,6 +643,25 @@ class HideSeek(EnvBase):
         singles = dict(s)
         singles["SelfObs"] = self_obs
         singles["Visible"] = visible.astype(jnp.int32)
+        # flat per-agent learner vector (rollouts stack to [T, W, A, D])
+        mov_pos = pos[:, ROW_BOX0:ROW_BOX0 + N_MOVABLE]       # [W, M, 3]
+        rel_agents = (
+            a_pos[:, None, :, :] - a_pos[:, :, None, :]
+        ).reshape(w, N_AGENTS, -1) / ARENA
+        rel_mov = (
+            mov_pos[:, None, :, :] - a_pos[:, :, None, :]
+        ).reshape(w, N_AGENTS, -1) / ARENA
+        locked_b = jnp.broadcast_to(
+            s["Locked"].astype(jnp.float32)[:, None, :],
+            (w, N_AGENTS, N_MOVABLE),
+        )
+        vis_b = jnp.broadcast_to(
+            visible.astype(jnp.float32).reshape(w, 1, -1),
+            (w, N_AGENTS, N_SEEKERS * N_HIDERS),
+        )
+        singles["FlatObs"] = jnp.concatenate(
+            [self_obs, rel_agents, rel_mov, locked_b, vis_b], axis=-1
+        )
         singles["Reward"] = reward
         singles["EpisodeStep"] = ep
         singles["Done"] = (ep >= EPISODE_LEN).astype(jnp.int32)

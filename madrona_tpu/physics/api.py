@@ -409,7 +409,21 @@ def make_physics_node(
         # loop — measured 5% slower when materialized once (XLA fuses the
         # inline one-hot lookups into their consumers)
         params = None
-        cands = bp.find_candidates(body, om, caps, cfg.dt)
+        if cfg.broadphase == "swept":
+            cands = bp.find_candidates_swept(
+                body, om, caps, cfg.dt, window=cfg.broadphase_window
+            )
+        else:
+            cands = bp.find_candidates(body, om, caps, cfg.dt)
+        # surface the swept tier's window-saturation flag (the analogue
+        # of the archetype-capacity overflow export, Executor.maybe_grow)
+        if "BroadphaseOverflow" in sm_.singletons:
+            singles = dict(state.singletons)
+            singles["BroadphaseOverflow"] = jnp.maximum(
+                singles["BroadphaseOverflow"],
+                cands.overflow.astype(jnp.int32),
+            )
+            state = dataclasses.replace(state, singletons=singles)
         has_joints = JOINT_BUFFER in sm_.singletons
         jbuf = joints_view(state) if has_joints else None
 

@@ -59,6 +59,10 @@ class Candidates:
     sp: jax.Array       # [W, CAP_S, 2] i32 (sphere first)
     sp_num: jax.Array
     sp_kind: jax.Array  # [W, CAP_S] i32 — geo type of second prim
+    # [W] bool: True where the tier may have MISSED pairs (swept tier's
+    # window saturated). All-pairs never sets it. Mirrors the repo's
+    # capacity-overflow signal convention (Executor.maybe_grow).
+    overflow: jax.Array = None
 
 
 def world_aabbs(body: BodyState, om, expansion_dt: float, params=None):
@@ -74,31 +78,34 @@ def world_aabbs(body: BodyState, om, expansion_dt: float, params=None):
     return lo, hi
 
 
-def find_candidates(
-    body: BodyState, om, caps: CandidateCaps, expansion_dt: float
+def _typed_compact(
+    first, second, hit, ptype, n: int, caps: CandidateCaps,
+    overflow=None,
 ) -> Candidates:
-    """All-pairs overlap -> compacted typed candidate buffers."""
-    w, n = body.pos.shape[:2]
-    params = om.obj_params(body.obj_id)
-    lo, hi = world_aabbs(body, om, expansion_dt, params=params)
-    ptype = params["prim_type"]                           # [W, N]
-    static = body.response == RESPONSE_STATIC
+    """Shared tail of both broadphase tiers: type each hit pair, order it
+    (lower prim-type code first, the reference's swap), and compact into
+    the three fixed-capacity buffers.
 
-    # upper-triangle pair enumeration (static shape: P = n*(n-1)/2)
-    iu, ju = jnp.triu_indices(n, k=1)
-    a_lo, a_hi = lo[:, iu], hi[:, iu]
-    b_lo, b_hi = lo[:, ju], hi[:, ju]
-    overlap = jnp.all((a_lo <= b_hi) & (b_lo <= a_hi), axis=-1)  # [W, P]
-    both_live = body.active[:, iu] & body.active[:, ju]
-    both_static = static[:, iu] & static[:, ju]
-    hit = overlap & both_live & (~both_static)
-
-    ta = ptype[:, iu]
-    tb = ptype[:, ju]
+    first/second: [P] or [W, P] row indices; hit: [W, P] bool.
+    """
+    w = hit.shape[0]
+    if first.ndim == 1:
+        # static pair enumeration (all-pairs tier): constant-index
+        # gathers lower to cheap slices on TPU — keep them, the dynamic
+        # [W, P] gather below is measurably slower
+        ta = ptype[:, first]
+        tb = ptype[:, second]
+        first = jnp.broadcast_to(first[None, :], hit.shape)
+        second = jnp.broadcast_to(second[None, :], hit.shape)
+    else:
+        widx = jnp.arange(w)[:, None]
+        ta = ptype[widx, jnp.clip(first, 0, n - 1)]
+        tb = ptype[widx, jnp.clip(second, 0, n - 1)]
     # order pair so lower type code first (reference swap)
     swap = ta > tb
-    first = jnp.where(swap, ju[None, :], iu[None, :])
-    second = jnp.where(swap, iu[None, :], ju[None, :])
+    first, second = (
+        jnp.where(swap, second, first), jnp.where(swap, first, second)
+    )
     t_first = jnp.minimum(ta, tb)
     t_second = jnp.maximum(ta, tb)
 
@@ -143,7 +150,159 @@ def find_candidates(
     sp_kind = jnp.where(
         sp[..., 1] < n, ptype[widx, sp_b], geo.TYPE_NONE
     )
+    if overflow is None:
+        overflow = jnp.zeros((w,), bool)
     return Candidates(
         hh=hh, hh_num=hh_num, hp=hp, hp_num=hp_num,
-        sp=sp, sp_num=sp_num, sp_kind=sp_kind,
+        sp=sp, sp_num=sp_num, sp_kind=sp_kind, overflow=overflow,
+    )
+
+
+def find_candidates(
+    body: BodyState, om, caps: CandidateCaps, expansion_dt: float
+) -> Candidates:
+    """All-pairs overlap -> compacted typed candidate buffers (the tier
+    for the example envs' tens-of-bodies worlds)."""
+    w, n = body.pos.shape[:2]
+    params = om.obj_params(body.obj_id)
+    lo, hi = world_aabbs(body, om, expansion_dt, params=params)
+    ptype = params["prim_type"]                           # [W, N]
+    static = body.response == RESPONSE_STATIC
+
+    # upper-triangle pair enumeration (static shape: P = n*(n-1)/2)
+    iu, ju = jnp.triu_indices(n, k=1)
+    a_lo, a_hi = lo[:, iu], hi[:, iu]
+    b_lo, b_hi = lo[:, ju], hi[:, ju]
+    overlap = jnp.all((a_lo <= b_hi) & (b_lo <= a_hi), axis=-1)  # [W, P]
+    both_live = body.active[:, iu] & body.active[:, ju]
+    both_static = static[:, iu] & static[:, ju]
+    hit = overlap & both_live & (~both_static)
+    return _typed_compact(iu, ju, hit, ptype, n, caps)
+
+
+def find_candidates_swept(
+    body: BodyState,
+    om,
+    caps: CandidateCaps,
+    expansion_dt: float,
+    window: int = 32,
+    large_slots: int = 8,
+) -> Candidates:
+    """Sweep-and-prune tier for many-body worlds (hundreds+).
+
+    The reference's answer at this scale is the per-world 4-wide AABB
+    tree (``broadphase::BVH::{rebuild,refit,findIntersecting}``,
+    ``src/physics/broadphase.cpp:487-1027``). A pointer-chasing tree walk
+    is TPU-hostile (divergent control flow, scalar gathers), so the
+    TPU-native equivalent is the other classic broadphase, in two parts:
+
+    * **Large-object split**: the ``large_slots`` widest bodies along x
+      per world (walls, floors, terrain — anything whose x-interval
+      would overlap everyone and poison a sweep) are tested *densely*
+      against all bodies: [W, L, N] AABB tests, cheap for small L.
+    * **Sweep-and-prune over the rest**: sort small bodies by AABB min-x
+      per world, then only pairs within ``window`` sorted positions are
+      tested — O(N log N + N·K) instead of O(N²). Exactness invariant:
+      in sorted-x order every overlapping partner of small body i
+      appears among the subsequent smalls whose lo.x <= hi.x(i); if more
+      than ``window`` such smalls exist, ``overflow`` is reported for
+      that world (same contract as candidate-buffer saturation /
+      ``Executor.maybe_grow``) — callers re-tier the window. For a dense
+      3D pile the slab population grows ~n^(2/3), so size ``window``
+      accordingly.
+
+    Dead rows sort to +inf (excluded from sweep and from large slots).
+    """
+    w, n = body.pos.shape[:2]
+    params = om.obj_params(body.obj_id)
+    lo, hi = world_aabbs(body, om, expansion_dt, params=params)
+    ptype = params["prim_type"]
+    static = body.response == RESPONSE_STATIC
+    live = body.active
+    widx = jnp.arange(w)[:, None]
+
+    # ---- large-object selection: top-L x-extent among live bodies
+    l_slots = min(large_slots, n)
+    extent = jnp.where(live, hi[..., 0] - lo[..., 0], -jnp.inf)
+    _, large_idx = jax.lax.top_k(extent, l_slots)            # [W, L]
+    is_large = jnp.zeros((w, n), bool).at[widx, large_idx].set(
+        live[widx, large_idx]
+    )
+
+    # ---- dense large-vs-all pairs
+    la_lo = lo[widx, large_idx]                              # [W, L, 3]
+    la_hi = hi[widx, large_idx]
+    ov_large = jnp.all(
+        (la_lo[:, :, None, :] <= hi[:, None, :, :])
+        & (lo[:, None, :, :] <= la_hi[:, :, None, :]),
+        axis=-1,
+    )                                                        # [W, L, N]
+    li_live = live[widx, large_idx]
+    pair_live = li_live[:, :, None] & live[:, None, :]
+    both_static = (
+        static[widx, large_idx][:, :, None] & static[:, None, :]
+    )
+    not_self = large_idx[:, :, None] != jnp.arange(n)[None, None, :]
+    # dedup large-large: count the pair only from the lower slot
+    j_is_large = is_large[:, None, :]                        # [W, 1, N]
+    # rank of each body among large slots (n if not large)
+    rank = jnp.full((w, n), l_slots, jnp.int32).at[
+        widx, large_idx
+    ].set(jnp.broadcast_to(jnp.arange(l_slots)[None], (w, l_slots)))
+    j_rank = rank[:, None, :]
+    i_rank = jnp.arange(l_slots)[None, :, None]
+    ll_keep = (~j_is_large) | (j_rank > i_rank)
+    hit_large = (
+        ov_large & pair_live & ~both_static & not_self & ll_keep
+    ).reshape(w, -1)
+    first_large = jnp.broadcast_to(
+        large_idx[:, :, None], (w, l_slots, n)
+    ).reshape(w, -1)
+    second_large = jnp.broadcast_to(
+        jnp.arange(n)[None, None, :], (w, l_slots, n)
+    ).reshape(w, -1)
+
+    # ---- sweep over smalls
+    small_live = live & ~is_large
+    sort_key = jnp.where(small_live, lo[..., 0], jnp.inf)    # [W, N]
+    order = jnp.argsort(sort_key, axis=1)                    # [W, N]
+    s_lo = lo[widx, order]                                   # [W, N, 3]
+    s_hi = hi[widx, order]
+    s_live = small_live[widx, order]
+    s_static = static[widx, order]
+
+    # exactness check: # of subsequent smalls whose x-interval starts
+    # before this one ends must fit in the window
+    s_key = jnp.where(s_live, s_lo[..., 0], jnp.inf)
+    # vectorized per-world searchsorted: position of hi.x in sorted lo.x
+    reach = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(
+        s_key, jnp.where(s_live, s_hi[..., 0], -jnp.inf)
+    )                                                        # [W, N]
+    span = reach - jnp.arange(n)[None, :] - 1                # partners after i
+    overflow = jnp.any(s_live & (span > window), axis=1)     # [W]
+
+    firsts, seconds, hits = [first_large], [second_large], [hit_large]
+    idx = jnp.arange(n)
+    for k in range(1, min(window, n - 1) + 1):
+        j = idx + k
+        valid = j < n
+        jc = jnp.minimum(j, n - 1)
+        a_lo, a_hi = s_lo, s_hi
+        b_lo = s_lo[:, jc]
+        b_hi = s_hi[:, jc]
+        # x-prune first (the sweep invariant), then full AABB test
+        x_live = b_lo[..., 0] <= a_hi[..., 0]
+        overlap = jnp.all((a_lo <= b_hi) & (b_lo <= a_hi), axis=-1)
+        pair_live = s_live & s_live[:, jc]
+        both_static = s_static & s_static[:, jc]
+        hits.append(
+            overlap & x_live & pair_live & ~both_static & valid[None, :]
+        )
+        firsts.append(order)                 # original rows
+        seconds.append(order[:, jc])
+    first = jnp.concatenate(firsts, axis=1)                  # [W, L*N+N*K]
+    second = jnp.concatenate(seconds, axis=1)
+    hit = jnp.concatenate(hits, axis=1)
+    return _typed_compact(
+        first, second, hit, ptype, n, caps, overflow=overflow
     )

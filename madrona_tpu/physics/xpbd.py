@@ -70,6 +70,14 @@ class PhysicsConfig:
     # 8 is the VMEM-feasible point for box-class hulls at tile_w=128
     # (16 exceeds scoped vmem by ~8M; 4 also fails to place)
     narrowphase_pair_tile: int = 8
+    # "all_pairs": O(n²) masked upper-triangle (exact, best for the
+    #   example envs' tens of bodies — SURVEY §7 "masked pairs first").
+    # "swept": sort-by-x sweep-and-prune, O(N log N + N·window), the
+    #   many-body tier (reference: the per-world AABB tree,
+    #   broadphase.cpp:487-1027). Exact while no world saturates the
+    #   window (Candidates.overflow reports saturation).
+    broadphase: str = "all_pairs"
+    broadphase_window: int = 32
 
 
 @jax.tree_util.register_dataclass

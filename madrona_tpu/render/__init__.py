@@ -11,10 +11,18 @@ from .tlas import (
     TLAS, build_tlas, tlas_candidates, render_views_tlas,
     instance_world_aabbs, object_aabbs,
 )
+from .blas import (
+    BlasTables, bake_blas, bake_assets_blas, render_views_blas,
+    trace_rays_blas, trace_scene_blas,
+)
+from .materials import MaterialTables, bake_materials, sample_materials
 
 __all__ = [
     "MeshRegistry", "MeshTables", "MAX_TRIS",
     "RenderConfig", "render_views", "camera_rays", "RenderingSystem",
     "TLAS", "build_tlas", "tlas_candidates", "render_views_tlas",
     "instance_world_aabbs", "object_aabbs",
+    "BlasTables", "bake_blas", "bake_assets_blas", "render_views_blas",
+    "trace_rays_blas", "trace_scene_blas",
+    "MaterialTables", "bake_materials", "sample_materials",
 ]

@@ -1,0 +1,408 @@
+"""Device-side mesh-BVH (BLAS) traversal for the batch raycaster.
+
+TPU-native equivalent of the reference's quantized-wide-BVH ray
+traversal (``include/madrona/mesh_bvh.hpp:20-212`` ``MeshBVH::traceRay``
++ the raycast kernel's TLAS→BLAS walk,
+``src/mw/device/bvh_raycast.cpp:225-520``). The reference traverses a
+compressed 8-wide BVH with a short stack per CUDA thread; the TPU
+design keeps the same *algorithm* (ordered depth-first walk, nearest
+child first, fixed stack) but vectorizes it across all (instance, ray)
+lanes of a ``lax.while_loop`` — every lane advances one node per
+iteration, so wall time is the *maximum* per-lane node count, which
+coherent camera-pixel rays keep low. Node/tri fetches are XLA gathers
+into the padded per-object tables.
+
+This is the tier for imported meshes of real polycount; the dense
+masked sweep (``render/raycast.py``) remains the fast path for the
+toy-geometry envs (tens of tris per object), exactly as the reference
+keeps separate paths for procedural vs mesh geometry.
+
+Bake: ``bake_blas`` stacks per-object ``assets/bvh.py::MeshBVH``
+(native binned-SAH builds, ``native/importer.cpp:160-353``) into padded
+device arrays, with triangles pre-reordered into leaf order so a leaf
+is a contiguous ``[first, first+count)`` slice (the reference bakes the
+same layout, ``src/render/asset_processor.cpp:155-254``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import math3d as m3
+
+
+@dataclasses.dataclass
+class BlasTables:
+    """All render objects' BVHs as stacked padded device arrays.
+
+    Triangles are stored in BVH leaf order; ``left`` of a leaf node is
+    the first triangle slot, ``right`` is ``-count``. Inner nodes store
+    child indices. Padding nodes are empty leaves (count 0).
+    """
+
+    node_min: jnp.ndarray   # [O, N, 3] f32
+    node_max: jnp.ndarray   # [O, N, 3] f32
+    left: jnp.ndarray       # [O, N] i32
+    right: jnp.ndarray      # [O, N] i32
+    tri_v0: jnp.ndarray     # [O, T, 3] f32 (leaf order)
+    tri_e1: jnp.ndarray     # [O, T, 3]
+    tri_e2: jnp.ndarray     # [O, T, 3]
+    tri_color: jnp.ndarray  # [O, T, 3]
+    tri_uv: jnp.ndarray = None   # [O, T, 3, 2] f32 (per-corner UVs)
+    tri_mat: jnp.ndarray = None  # [O, T] i32 material slot (0 = default)
+    max_leaf: int = 4
+    num_objects: int = 0
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_min.shape[1]
+
+
+def bake_blas(
+    bvhs: Sequence,
+    colors=None,
+    tri_colors=None,
+    uvs=None,
+    materials=None,
+) -> BlasTables:
+    """Stack per-object MeshBVH builds into BlasTables.
+
+    bvhs: list of assets.bvh.MeshBVH. colors: per-object RGB (or
+    ``tri_colors``: list of [T, 3] arrays in *original* tri order).
+    uvs: per-object [V, 2] vertex UVs (or None). materials: per-object
+    material slot (int; use imported-id + 1, 0 = default) — the
+    reference's per-leaf material index (mesh_bvh.hpp leaf material,
+    asset_processor.cpp:155-254).
+    """
+    o = len(bvhs)
+    max_n = max(b.num_nodes for b in bvhs)
+    max_t = max(len(b.indices) for b in bvhs)
+    max_leaf = max(
+        int(max(-b.right[b.right < 0])) if (b.right < 0).any() else 1
+        for b in bvhs
+    )
+    node_min = np.full((o, max_n, 3), np.inf, np.float32)
+    node_max = np.full((o, max_n, 3), -np.inf, np.float32)
+    left = np.zeros((o, max_n), np.int32)
+    right = np.zeros((o, max_n), np.int32)   # pad nodes: leaf count 0
+    v0 = np.zeros((o, max_t, 3), np.float32)
+    e1 = np.zeros((o, max_t, 3), np.float32)
+    e2 = np.zeros((o, max_t, 3), np.float32)
+    col = np.full((o, max_t, 3), 0.8, np.float32)
+    uv = np.zeros((o, max_t, 3, 2), np.float32)
+    mat = np.zeros((o, max_t), np.int32)
+    for i, b in enumerate(bvhs):
+        nn, nt = b.num_nodes, len(b.indices)
+        node_min[i, :nn] = b.node_min
+        node_max[i, :nn] = b.node_max
+        left[i, :nn] = b.left
+        right[i, :nn] = b.right
+        # reorder tris into leaf order
+        order = b.tri_order
+        tri = b.indices[order]
+        p = b.positions
+        v0[i, :nt] = p[tri[:, 0]]
+        e1[i, :nt] = p[tri[:, 1]] - p[tri[:, 0]]
+        e2[i, :nt] = p[tri[:, 2]] - p[tri[:, 0]]
+        if tri_colors is not None and tri_colors[i] is not None:
+            col[i, :nt] = np.asarray(tri_colors[i], np.float32)[order]
+        elif colors is not None:
+            col[i, :nt] = np.asarray(colors[i], np.float32)
+        if uvs is not None and uvs[i] is not None:
+            vuv = np.asarray(uvs[i], np.float32)
+            uv[i, :nt] = vuv[tri]                      # [T, 3, 2]
+        if materials is not None:
+            mat[i, :nt] = np.asarray(materials[i], np.int32)
+    return BlasTables(
+        node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
+        left=jnp.asarray(left), right=jnp.asarray(right),
+        tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(e1),
+        tri_e2=jnp.asarray(e2), tri_color=jnp.asarray(col),
+        tri_uv=jnp.asarray(uv), tri_mat=jnp.asarray(mat),
+        max_leaf=max_leaf, num_objects=o,
+    )
+
+
+def bake_assets_blas(assets, leaf_size: int = 4, tex_size: int = 64):
+    """One-call bake of ``assets.importer.ImportedAssets`` into the
+    renderer's (BlasTables, MaterialTables) pair — the
+    ``AssetProcessor::makeBVHData`` + ``initMaterialData`` analogue.
+    Returns (blas, materials, object_ids) with one render object per
+    imported mesh.
+    """
+    from ..assets.bvh import build_mesh_bvh
+    from .materials import bake_materials
+
+    bvhs, mats = [], []
+    uv_list = []
+    for mesh in assets.meshes:
+        bvhs.append(
+            build_mesh_bvh(mesh.positions, mesh.indices, leaf_size)
+        )
+        uv_list.append(mesh.uvs)
+        mats.append(mesh.material + 1)     # slot 0 = default material
+    blas = bake_blas(bvhs, uvs=uv_list, materials=mats)
+    mat_tables = bake_materials(
+        assets.materials, assets.textures, tex_size=tex_size
+    )
+    return blas, mat_tables, list(range(len(assets.meshes)))
+
+
+def _slab(nmin, nmax, o, inv_d, t_best):
+    """Ray-AABB slab test. All [B, 3] / [B]. Returns (enter, hit)."""
+    t0 = (nmin - o) * inv_d
+    t1 = (nmax - o) * inv_d
+    lo = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    hi = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    enter = jnp.maximum(lo, 0.0)
+    return enter, (hi >= enter) & (enter <= t_best)
+
+
+def trace_rays_blas(
+    blas: BlasTables,
+    obj: jnp.ndarray,       # [B] i32 object id per lane
+    o_l: jnp.ndarray,       # [B, 3] ray origin, object-local
+    d_l: jnp.ndarray,       # [B, 3] ray dir, object-local (unnormalized ok)
+    live: jnp.ndarray,      # [B] bool lane mask
+    t_max: float,
+    stack_size: int = 48,
+):
+    """Vectorized ordered-DFS BVH walk over all lanes.
+
+    Returns (t [B], tri [B] leaf-order slot or -1, u [B], v [B]).
+    Matches ``assets/bvh.py::MeshBVH.trace_ray`` semantics (nearest hit,
+    t in (1e-3, t_max)); cross-checked by tests/test_blas.py.
+    """
+    b = obj.shape[0]
+    inv_d = jnp.where(
+        jnp.abs(d_l) > 1e-12, 1.0 / d_l, jnp.float32(1e30)
+    )
+    stack = jnp.zeros((b, stack_size), jnp.int32)
+    sp = live.astype(jnp.int32)                     # root pushed if live
+    best_t = jnp.full((b,), t_max, jnp.float32)
+    best_tri = jnp.full((b,), -1, jnp.int32)
+    best_u = jnp.zeros((b,), jnp.float32)
+    best_v = jnp.zeros((b,), jnp.float32)
+    lanes = jnp.arange(b)
+
+    def cond(c):
+        return jnp.any(c[1] > 0)
+
+    def body(c):
+        stack, sp, best_t, best_tri, best_u, best_v = c
+        active = sp > 0
+        node = stack[lanes, jnp.maximum(sp - 1, 0)]
+        sp = sp - active.astype(jnp.int32)
+
+        nmin = blas.node_min[obj, node]             # [B, 3]
+        nmax = blas.node_max[obj, node]
+        _, node_hit = _slab(nmin, nmax, o_l, inv_d, best_t)
+        node_hit = node_hit & active
+
+        l = blas.left[obj, node]
+        r = blas.right[obj, node]
+        is_leaf = r <= 0
+
+        # ---- leaf: masked Moller-Trumbore over the fixed leaf budget
+        count = jnp.where(is_leaf & node_hit, -r, 0)
+        for k in range(blas.max_leaf):
+            ti = jnp.clip(l + k, 0, blas.tri_v0.shape[1] - 1)
+            valid = k < count
+            v0 = blas.tri_v0[obj, ti]
+            e1 = blas.tri_e1[obj, ti]
+            e2 = blas.tri_e2[obj, ti]
+            p = jnp.cross(d_l, e2)
+            det = jnp.sum(e1 * p, axis=-1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tv = o_l - v0
+            u = jnp.sum(tv * p, axis=-1) * inv_det
+            q = jnp.cross(tv, e1)
+            v = jnp.sum(d_l * q, axis=-1) * inv_det
+            t = jnp.sum(e2 * q, axis=-1) * inv_det
+            hit = (
+                valid & (jnp.abs(det) > 1e-12)
+                & (u >= 0) & (v >= 0) & (u + v <= 1)
+                & (t > 1e-3) & (t < best_t)
+            )
+            best_tri = jnp.where(hit, ti, best_tri)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+            best_t = jnp.where(hit, t, best_t)
+
+        # ---- inner: push children ordered (near child popped first)
+        push = node_hit & ~is_leaf
+        lmin = blas.node_min[obj, l]
+        lmax = blas.node_max[obj, l]
+        rmin = blas.node_min[obj, r]
+        rmax = blas.node_max[obj, r]
+        lt, lhit = _slab(lmin, lmax, o_l, inv_d, best_t)
+        rt, rhit = _slab(rmin, rmax, o_l, inv_d, best_t)
+        lhit = lhit & push
+        rhit = rhit & push
+        l_near = lt <= rt
+        first = jnp.where(l_near, l, r)
+        second = jnp.where(l_near, r, l)
+        f_hit = jnp.where(l_near, lhit, rhit)
+        s_hit = jnp.where(l_near, rhit, lhit)
+        # push far first so near pops first
+        can = sp < stack_size  # drop on overflow (sized to never happen)
+        do_s = s_hit & can
+        stack = stack.at[lanes, jnp.minimum(sp, stack_size - 1)].set(
+            jnp.where(do_s, second, stack[lanes, jnp.minimum(sp, stack_size - 1)])
+        )
+        sp = sp + do_s.astype(jnp.int32)
+        do_f = f_hit & (sp < stack_size)
+        stack = stack.at[lanes, jnp.minimum(sp, stack_size - 1)].set(
+            jnp.where(do_f, first, stack[lanes, jnp.minimum(sp, stack_size - 1)])
+        )
+        sp = sp + do_f.astype(jnp.int32)
+        return stack, sp, best_t, best_tri, best_u, best_v
+
+    _, _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
+        cond, body, (stack, sp, best_t, best_tri, best_u, best_v)
+    )
+    return best_t, best_tri, best_u, best_v
+
+
+def _trace_nearest(cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj,
+                   inst_mask, origins, dirs, t_max):
+    """Nearest hit over all instances. Returns (depth [R], win [R]
+    winning instance, tri [R] leaf slot or -1, u, v)."""
+    i_n = inst_pos.shape[0]
+    r_n = origins.shape[0]
+
+    inv_q = m3.quat_inv(inst_rot)                       # [I, 4]
+    scale = jnp.maximum(inst_scale, 1e-12)
+    o_l = m3.quat_rotate(
+        inv_q[:, None, :], origins[None, :, :] - inst_pos[:, None, :]
+    ) / scale[:, None, :]                               # [I, R, 3]
+    d_l = m3.quat_rotate(inv_q[:, None, :], dirs[None, :, :]) / (
+        scale[:, None, :]
+    )
+    # NOTE: the affine map keeps the ray parameterization — p_l(t) =
+    # (R^-1(p_w(t) - pos))/s — so local t IS world t; no correction.
+
+    flat = lambda a: a.reshape((i_n * r_n,) + a.shape[2:])
+    obj = jnp.repeat(inst_obj, r_n)
+    live = jnp.repeat(inst_mask, r_n)
+    t, tri, u, v = trace_rays_blas(
+        blas, obj, flat(o_l), flat(d_l), live, t_max
+    )
+    t = t.reshape(i_n, r_n)
+    tri = tri.reshape(i_n, r_n)
+    u = u.reshape(i_n, r_n)
+    v = v.reshape(i_n, r_n)
+    win = jnp.argmin(t, axis=0)                         # [R]
+    depth = jnp.min(t, axis=0)
+    rr = jnp.arange(r_n)
+    return depth, win, tri[win, rr], u[win, rr], v[win, rr]
+
+
+def trace_scene_blas(
+    cfg,
+    blas: BlasTables,
+    inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,  # [I, ...]
+    origins, dirs,                                        # [R, 3]
+    materials=None,
+):
+    """Nearest hit over all instances via per-(instance, ray) walks;
+    same contract as raycast._trace_rays: returns (rgb [R,3], depth [R]).
+
+    With ``materials`` (render.materials.MaterialTables), hits shade as
+    base_color x texture(uv) x (ambient + lambert), the reference's
+    computeFragment path (bvh_raycast.cpp:776-790); otherwise flat
+    per-tri colors. ``cfg.shadows`` adds one occlusion trace toward the
+    light per pixel (bvh_raycast.cpp:898-912).
+    """
+    depth, win, w_tri_raw, u, v = _trace_nearest(
+        cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+        origins, dirs, cfg.t_max,
+    )
+    hit_any = w_tri_raw >= 0
+    w_obj = inst_obj[win]
+    w_tri = jnp.maximum(w_tri_raw, 0)
+
+    e1 = blas.tri_e1[w_obj, w_tri]
+    e2 = blas.tri_e2[w_obj, w_tri]
+    n_l = jnp.cross(e1, e2)
+    n_w = m3.quat_rotate(
+        inst_rot[win], n_l / jnp.maximum(inst_scale[win], 1e-12)
+    )
+    n_w = n_w / jnp.maximum(
+        jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12
+    )
+    light = -jnp.asarray(
+        np.array(cfg.light_dir) / np.linalg.norm(cfg.light_dir),
+        jnp.float32,
+    )
+    lam = jnp.abs(jnp.sum(n_w * light, axis=-1))
+
+    if materials is not None and blas.tri_uv is not None:
+        from .materials import sample_materials
+
+        uvs = blas.tri_uv[w_obj, w_tri]                  # [R, 3, 2]
+        uv = (
+            uvs[:, 0]
+            + u[:, None] * (uvs[:, 1] - uvs[:, 0])
+            + v[:, None] * (uvs[:, 2] - uvs[:, 0])
+        )
+        mat = blas.tri_mat[w_obj, w_tri]
+        albedo = sample_materials(materials, mat, uv)
+    else:
+        albedo = blas.tri_color[w_obj, w_tri]
+
+    light_scale = jnp.ones_like(lam)
+    if cfg.shadows:
+        # occlusion trace from the hit point toward the light
+        hit_p = origins + depth[:, None] * dirs
+        s_org = hit_p + n_w * jnp.where(
+            jnp.sum(n_w * light, axis=-1) >= 0, 1e-2, -1e-2
+        )[:, None]
+        s_depth, _, s_tri, _, _ = _trace_nearest(
+            cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj,
+            inst_mask,
+            s_org, jnp.broadcast_to(light[None, :], s_org.shape),
+            cfg.t_max,
+        )
+        occluded = (s_tri >= 0) & hit_any
+        light_scale = jnp.where(occluded, cfg.shadow_ambient, 1.0)
+
+    shade = cfg.ambient + (1 - cfg.ambient) * lam * light_scale
+    rgb = albedo * shade[:, None]
+    sky = jnp.asarray(cfg.sky_color, jnp.float32)
+    rgb = jnp.where(hit_any[:, None], rgb, sky[None, :])
+    depth = jnp.where(hit_any, depth, cfg.t_max)
+    return rgb, depth
+
+
+def render_views_blas(
+    cfg, blas: BlasTables, inst_pos, inst_rot, inst_scale, inst_obj,
+    inst_mask, cam_pos, cam_rot, materials=None,
+):
+    """BLAS-tier analogue of raycast.render_views ([W, ...] batches)."""
+    from .raycast import camera_rays
+
+    h, w = cfg.height, cfg.width
+
+    def per_cam(ip, ir, isc, io, im, cp, cr):
+        o, d = camera_rays(cfg, cp, cr)
+        rgb, dep = trace_scene_blas(
+            cfg, blas, ip, ir, isc, io, im,
+            o.reshape(-1, 3), d.reshape(-1, 3), materials=materials,
+        )
+        return rgb.reshape(h, w, 3), dep.reshape(h, w)
+
+    per_world = jax.vmap(
+        lambda ip, ir, isc, io, im, cps, crs: jax.vmap(
+            lambda cp, cr: per_cam(ip, ir, isc, io, im, cp, cr)
+        )(cps, crs)
+    )
+    return per_world(
+        inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+        cam_pos, cam_rot,
+    )

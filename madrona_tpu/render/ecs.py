@@ -43,9 +43,13 @@ class RenderingSystem:
         camera_offset=(0.0, 0.0, 0.0),
         body_mask=None,              # [N] bool: rows that render
         tlas_max_instances: int = 0,  # >0: per-view top-K TLAS cull tier
+        blas=None,                   # BlasTables: device mesh-BVH tier
+        materials=None,              # MaterialTables for the BLAS tier
     ):
         self.mesh = mesh
         self.cfg = cfg
+        self.blas = blas
+        self.materials = materials
         self.body_arch = body_arch
         self.render_obj = jnp.asarray(render_obj_of_body, jnp.int32)
         self.camera_rows = tuple(camera_rows)
@@ -85,6 +89,22 @@ class RenderingSystem:
 
         inst_mask = jnp.broadcast_to(self.body_mask[None, :], pos.shape[:2])
         inst_obj = jnp.broadcast_to(self.render_obj[None, :], pos.shape[:2])
+        if self.blas is not None:
+            # device BVH traversal tier: imported meshes of real
+            # polycount (reference TLAS->BLAS walk,
+            # bvh_raycast.cpp:225-520); materials/textures/shadows
+            # sampled per hit (:776-912)
+            from .blas import render_views_blas
+
+            rgb, depth = render_views_blas(
+                self.cfg, self.blas, pos, rot, scale, inst_obj,
+                inst_mask, cam_pos, cam_rot,
+                materials=self.materials,
+            )
+            singles = dict(state.singletons)
+            singles["RGBOut"] = rgb
+            singles["DepthOut"] = depth
+            return dataclasses.replace(state, singletons=singles)
         if self.tlas_max_instances > 0:
             from .tlas import render_views_tlas
 

@@ -41,6 +41,11 @@ class RenderConfig:
     # tensors dominate) at ~1% depth/uv error — plenty for small visual
     # observations; keep "float32" for golden tests / LOS queries.
     dtype: str = "float32"
+    # shadow rays (BLAS tier only): one occlusion trace toward the light
+    # per primary hit (reference MADRONA_RT_SHADOWS,
+    # bvh_raycast.cpp:898-912). Roughly doubles trace cost.
+    shadows: bool = False
+    shadow_ambient: float = 0.25   # light scale inside shadow
 
 
 def camera_rays(cfg: RenderConfig, cam_pos, cam_rot):

@@ -250,3 +250,43 @@ def test_pixels_with_tlas_culling():
     rgb = np.asarray(o1["rgb"])
     sky = np.asarray(HideSeek().rcfg.sky_color)
     assert (np.abs(rgb - sky).sum(-1) > 0.05).mean() > 0.1
+
+
+def test_flat_obs_and_rollout_flat():
+    """FlatObs mirrors its constituent exports; rollout_flat stacks to
+    [T, W, A, D]."""
+    import numpy as np
+    from madrona_tpu.models.base import make_sim, rollout_flat
+    from madrona_tpu.models import hide_seek as hs
+
+    w = 2
+    sim = make_sim(hs.HideSeek(pixels=False), num_worlds=w, seed=0,
+                   donate=False)
+    step = sim.step_fn()
+    s = sim.state
+    acts = hs.HideSeek.random_actions(np.random.RandomState(1), 4, w)
+    for t in range(3):
+        s, o = step(s, {"action": acts[t],
+                        "reset": jnp.zeros((w,), jnp.int32)})
+    flat = np.asarray(o["flat_obs"])
+    a = hs.N_AGENTS
+    d = (10 + a * 3 + hs.N_MOVABLE * 3 + hs.N_MOVABLE
+         + hs.N_SEEKERS * hs.N_HIDERS)
+    assert flat.shape == (w, a, d)
+    np.testing.assert_array_equal(flat[..., :10], np.asarray(o["self_obs"]))
+    vis = np.asarray(o["visible"]).reshape(w, 1, -1).astype(np.float32)
+    np.testing.assert_array_equal(
+        flat[..., -hs.N_SEEKERS * hs.N_HIDERS:],
+        np.broadcast_to(vis, (w, a, vis.shape[-1])),
+    )
+    # rel-agent block has zeros on the self diagonal
+    rel = flat[..., 10:10 + a * 3].reshape(w, a, a, 3)
+    for i in range(a):
+        np.testing.assert_array_equal(rel[:, i, i], 0.0)
+
+    sim.state = s
+    outs = rollout_flat(sim, {
+        "action": acts, "reset": jnp.zeros((4, w), jnp.int32)
+    })
+    assert outs["flat_obs"].shape == (4, w, a, d)
+    assert outs["done"].shape == (4, w)
