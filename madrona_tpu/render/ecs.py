@@ -68,6 +68,11 @@ class RenderingSystem:
         reg.register_singleton("DepthOut", (v, h, w), jnp.float32)
         reg.export_singleton("RGBOut", "rgb")
         reg.export_singleton("DepthOut", "depth")
+        if self.tlas_max_instances > 0:
+            # true per-view frustum overlap count: the cull tier's
+            # overflow signal (cull is exact while overlap <= K)
+            reg.register_singleton("TlasOverlap", (v,), jnp.int32)
+            reg.export_singleton("TlasOverlap", "tlas_overlap")
 
     def setup_tasks(self, b: TaskGraphBuilder, deps=()):
         return b.custom(self._render_node, deps=deps, name="render_views")
@@ -108,12 +113,13 @@ class RenderingSystem:
         if self.tlas_max_instances > 0:
             from .tlas import render_views_tlas
 
-            rgb, depth, _overlap = render_views_tlas(
+            rgb, depth, overlap = render_views_tlas(
                 self.cfg, self.mesh, pos, rot, scale, inst_obj, inst_mask,
                 cam_pos, cam_rot,
                 max_instances_per_view=self.tlas_max_instances,
             )
         else:
+            overlap = None
             rgb, depth = render_views(
                 self.cfg, self.mesh, pos, rot, scale, inst_obj, inst_mask,
                 cam_pos, cam_rot,
@@ -121,4 +127,35 @@ class RenderingSystem:
         singles = dict(state.singletons)
         singles["RGBOut"] = rgb
         singles["DepthOut"] = depth
+        if overlap is not None and "TlasOverlap" in singles:
+            singles["TlasOverlap"] = overlap.astype(jnp.int32)
         return dataclasses.replace(state, singletons=singles)
+
+    # ------------------------------------------------------- adaptive K
+
+    def maybe_grow_tlas(self, executor, margin: float = 1.0) -> int:
+        """Adaptive cull-K (the capacity-tier pattern,
+        ``Executor.maybe_grow``): if any view's true frustum overlap
+        exceeded the current K, raise K to the observed max (times
+        ``margin``, rounded up to a multiple of 4) and drop the
+        executor's compiled step fns so the next call re-traces at the
+        new tier. Returns the new K (unchanged if no overflow).
+
+        Costs one host sync; call between rollouts, not per step.
+        """
+        if self.tlas_max_instances <= 0:
+            return self.tlas_max_instances
+        import numpy as np
+
+        seen = int(
+            np.max(np.asarray(executor.state.singletons["TlasOverlap"]))
+        )
+        if seen <= self.tlas_max_instances:
+            return self.tlas_max_instances
+        new_k = int(-(-int(seen * margin) // 4) * 4)
+        # K beyond the instance count is meaningless (and top_k rejects
+        # k > N): at that point the cull selects everything
+        new_k = min(new_k, int(self.render_obj.shape[0]))
+        self.tlas_max_instances = new_k
+        executor._step_fns.clear()
+        return new_k

@@ -188,3 +188,33 @@ def test_tlas_single_instance():
     cands, cnt = tlas_candidates(t, o, d, 4, 100.0)
     assert np.asarray(cnt).tolist() == [1, 0]
     assert int(cands[0, 0]) == 0
+
+
+def test_adaptive_tlas_k_grows():
+    """TlasOverlap export + RenderingSystem.maybe_grow_tlas: a K too
+    small for the scene reports the true overlap and re-tiers."""
+    import numpy as np
+    import jax.numpy as jnp
+    from madrona_tpu.models.base import make_sim
+    from madrona_tpu.models.hide_seek import HideSeek
+
+    w = 2
+    env = HideSeek(render_size=8, pixels=True, tlas_max_instances=2)
+    sim = make_sim(env, num_worlds=w, seed=0, donate=False)
+    step = sim.step_fn()
+    s = sim.state
+    acts = HideSeek.random_actions(np.random.RandomState(0), 2, w)
+    for t in range(2):
+        s, o = step(s, {"action": acts[t],
+                        "reset": jnp.zeros((w,), jnp.int32)})
+    sim.state = s
+    overlap = np.asarray(o["tlas_overlap"])
+    assert overlap.shape == (w, len(env.rsys.camera_rows))
+    assert overlap.max() > 2      # scene has 11 instances; K=2 saturates
+    new_k = env.rsys.maybe_grow_tlas(sim.executor)
+    assert new_k >= overlap.max()
+    assert env.rsys.tlas_max_instances == new_k
+    # re-traced step at the new tier still runs (fresh compile)
+    o = sim.step({"action": acts[0], "reset": jnp.zeros((w,), jnp.int32)})
+    assert np.isfinite(np.asarray(o["rgb"])).all()
+    assert np.asarray(o["tlas_overlap"]).shape == (w, len(env.rsys.camera_rows))
