@@ -45,9 +45,10 @@ def pick_flagship():
         from madrona_tpu.models.hide_seek import HideSeek
 
         k = int(os.environ.get("MADRONA_TPU_BENCH_TLAS_K", "0"))
+        rs = int(os.environ.get("MADRONA_TPU_BENCH_RENDER_SIZE", "16"))
         return (
-            "hide_seek_pixels",
-            HideSeek(render_size=16, tlas_max_instances=k),
+            f"hide_seek_pixels{rs}",
+            HideSeek(render_size=rs, tlas_max_instances=k),
             worlds or 1024, 100,
         )
     try:

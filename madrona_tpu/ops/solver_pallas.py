@@ -604,7 +604,7 @@ def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
 
 
 def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
-                    restitution, restitution_threshold, *refs):
+                    restitution, restitution_threshold, loop, *refs):
     n = n_bodies
     if n_joints > 0:
         (state_ref, param_ref, ref_ref, alt_ref, con_ref, pts_ref,
@@ -675,7 +675,8 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
         )
 
     g = gravity
-    for _ in range(substeps):
+
+    def substep_once(st):
         st = _integrate(st, pr, h, g)
         st, lam_n = _position_solve(st, pr, masks, con, iters)
         if n_joints > 0:
@@ -685,6 +686,26 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
             st, pr, masks, con, pts, lam_n, h, restitution,
             restitution_threshold,
         )
+        return st
+
+    if loop and substeps > 1:
+        # rolled substeps: same math/order as the unroll (bit parity),
+        # ~substeps x smaller instruction stream + scratch liveness.
+        # Pre-seed the solver-scratch keys so the carry pytree is
+        # stable (the first _integrate overwrites them all).
+        z1 = jnp.zeros_like(sp[0])
+        st = dict(
+            st,
+            prev_x=(z1,) * 3, prev_q=(z1,) * 4,
+            psx=(z1,) * 3, psq=(z1,) * 4,
+            psv=(z1,) * 3, psw=(z1,) * 3,
+        )
+        st = jax.lax.fori_loop(
+            0, substeps, lambda _, s: substep_once(s), st
+        )
+    else:
+        for _ in range(substeps):
+            st = substep_once(st)
 
     planes = (
         st["x"] + st["q"] + st["v"] + st["w"]
@@ -697,7 +718,9 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
 def make_substep_solver(n_bodies, n_contacts, substeps, iters, h, gravity,
                         restitution, restitution_threshold,
                         n_joints: int = 0,
-                        tile_w: int = 128, interpret: bool = False):
+                        tile_w: int = 128, interpret: bool = False,
+                        loop: bool = False,
+                        vmem_limit_mb: int = 0):
     """Build the jitted whole-substep solver.
 
     fn(state_t [STATE_F,N,W], param_t [PARAM_F,N,W], ref_t [C,W] i32,
@@ -708,7 +731,7 @@ def make_substep_solver(n_bodies, n_contacts, substeps, iters, h, gravity,
     kern = functools.partial(
         _substep_kernel, n_bodies, n_joints, substeps, iters, float(h),
         tuple(float(x) for x in gravity), float(restitution),
-        float(restitution_threshold),
+        float(restitution_threshold), loop,
     )
 
     def run(state_t, param_t, ref_t, alt_t, con_t, pts_t, num_t,
@@ -736,6 +759,14 @@ def make_substep_solver(n_bodies, n_contacts, substeps, iters, h, gravity,
             j = je1_t.shape[0]
             in_specs += [wspec((j,)), wspec((j,)), wspec((JNT_F, j))]
             args += [je1_t, je2_t, jnt_t]
+        extra = {}
+        if vmem_limit_mb and not interpret:
+            # the default scoped-VMEM budget is conservative; tiles
+            # beyond 128 lanes need an explicit cap raise (bounded by
+            # the physical ~16MB/core minus Mosaic's own scratch)
+            extra["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+            )
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -743,6 +774,7 @@ def make_substep_solver(n_bodies, n_contacts, substeps, iters, h, gravity,
             out_specs=wspec((OUT_F, n)),
             out_shape=jax.ShapeDtypeStruct((OUT_F, n, w), jnp.float32),
             interpret=interpret,
+            **extra,
         )(*args)
 
     return run

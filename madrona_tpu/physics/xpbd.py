@@ -66,6 +66,16 @@ class PhysicsConfig:
     megakernel: bool = False
     # world-lane tile of the megakernel grid (tuning knob)
     megakernel_tile: int = 128
+    # True: the kernel's substep loop is a lax.fori_loop instead of a
+    # full unroll — same math/order, much smaller instruction stream and
+    # scratch liveness, which can unlock larger megakernel_tile (tuning
+    # knob; see ops/solver_pallas.py). Measured (v5e, escape room):
+    # loop@128 = 347k vs unrolled@128 = 420k steps/s — the unroll wins
+    # at 128; the loop exists to chase bigger tiles.
+    megakernel_loop: bool = False
+    # >0: raise the kernel's scoped-VMEM cap (MB). tile 256 needs ~22MB
+    # which exceeds the physical ~16MB/core; knob kept for sweeps.
+    megakernel_vmem_mb: int = 0
     # pair tile of the sublane narrowphase kernel (pairs pad up to it).
     # 8 is the VMEM-feasible point for box-class hulls at tile_w=128
     # (16 exceeds scoped vmem by ~8M; 4 also fails to place)

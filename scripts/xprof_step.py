@@ -114,15 +114,28 @@ def summarize(path, top, steps):
                 print(f"  {name:<{width}}  {ns/1e6/steps:8.4f} ms/step  "
                       f"x{counts[name]//steps}")
 
-        # op-level self-time line ("XLA Ops"), the real breakdown
+        # op-level self-time line ("XLA Ops"), the real breakdown.
+        # copy-start/copy-done spans measure the ASYNC WINDOW (they
+        # overlap compute), so bucket them separately from the real
+        # compute ops.
         totals, counts, total_ns = tally(lambda n: "xla op" in n)
         if totals:
-            print(f"\n-- op self-times ({total_ns/1e6/steps:.3f} ms/step "
-                  f"accounted)")
-            width = min(
-                90, max(len(n) for n, _ in totals.most_common(top))
+            is_async = lambda n: n.lstrip("%").startswith(
+                ("copy-start", "copy-done", "send", "recv",
+                 "all-reduce-start", "collective-permute-start")
             )
-            for name, ns in totals.most_common(top):
+            compute = collections.Counter(
+                {n: v for n, v in totals.items() if not is_async(n)}
+            )
+            async_ns = sum(v for n, v in totals.items() if is_async(n))
+            comp_ns = sum(compute.values())
+            print(f"\n-- op self-times: compute {comp_ns/1e6/steps:.3f}"
+                  f" ms/step accounted; async-copy windows "
+                  f"{async_ns/1e6/steps:.3f} ms/step (overlapped)")
+            width = min(
+                90, max(len(n) for n, _ in compute.most_common(top))
+            )
+            for name, ns in compute.most_common(top):
                 print(f"  {name[:width]:<{width}}  {ns/1e6/steps:8.4f} "
                       f"ms/step  x{counts[name]//steps}")
 

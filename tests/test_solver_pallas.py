@@ -227,3 +227,34 @@ def test_hide_seek_megakernel_pipeline():
                 outs[True][t][k], outs[False][t][k],
                 rtol=2e-3, atol=2e-4, err_msg=f"step {t} key {k}",
             )
+
+
+def test_megakernel_loop_matches_xla_path():
+    """megakernel_loop=True (lax.fori_loop substeps): same math/order as
+    the unroll, but compiler reassociation + knife-edge friction
+    branches make bitwise comparison against the unrolled kernel
+    meaningless — validate against the XLA-path oracle with the same
+    tolerances as the unrolled kernel's own test."""
+    import dataclasses as _dc
+
+    rs = np.random.RandomState(42)
+    om = _make_om()
+    body = _rand_state(rs, om)
+    contacts = _rand_contacts(rs)
+    cfg = PhysicsConfig(
+        substeps=4, jacobi_iters=2, narrowphase_once=True,
+        megakernel=True, megakernel_loop=True,
+    )
+    ref = jax.jit(
+        lambda b: _xla_substeps(b, contacts, om, cfg)
+    )(body)
+    got = jax.jit(
+        lambda b: papi.megakernel_substeps(
+            b, contacts, om, cfg, tile_w=8, interpret=True
+        )
+    )(body)
+    for f in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+            rtol=5e-3, atol=5e-4, err_msg=f,
+        )
