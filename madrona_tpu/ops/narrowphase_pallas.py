@@ -1089,7 +1089,8 @@ def _hh_kernel_sublane(dims, n_bodies, n_obj, rows_a_ref, rows_b_ref,
 
 
 def make_hh_narrowphase_sublane(dims, n_bodies, n_obj, pair_tile: int = 0,
-                                tile_w: int = 128, interpret: bool = False):
+                                tile_w: int = 128, interpret: bool = False,
+                                vmem_limit_mb: int = 0):
     """Pairs-in-sublanes kernel builder (see module note). Returns
     fn(nb_t [N,10,W], obj_t [N,W] f32, pairs_t [P,2,W] i32, hull_pack)
     -> record [P, 22, W] f32."""
@@ -1131,6 +1132,12 @@ def make_hh_narrowphase_sublane(dims, n_bodies, n_obj, pair_tile: int = 0,
             ),
             out_shape=jax.ShapeDtypeStruct((p, 22, w), jnp.float32),
             interpret=interpret,
+            **(
+                {"compiler_params": pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+                )}
+                if vmem_limit_mb and not interpret else {}
+            ),
         )(rows_a_t, rows_b_t, nb_t, obj_t, hull_pack)
 
     return run

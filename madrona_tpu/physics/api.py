@@ -271,13 +271,14 @@ def _narrowphase_all(
 
 def _narrowphase_mixed_pallas(
     body: BodyState, om: ObjectManager, cands: bp.Candidates,
-    sublane: bool = False, pair_tile: int = 8,
+    sublane: bool = False, pair_tile: int = 8, vmem_limit_mb: int = 0,
 ) -> Contacts:
     """Contacts with the hull-hull lane on the Pallas kernel and the
     cheap hull-plane / sphere lanes on the XLA path."""
     full = _narrowphase_all(body, om, cands, skip_hh=True)
     ref, alt, points, num, normal = narrowphase_hh_pallas(
-        body, om, cands, sublane=sublane, pair_tile=pair_tile
+        body, om, cands, sublane=sublane, pair_tile=pair_tile,
+        vmem_limit_mb=vmem_limit_mb,
     )
     p = cands.hh.shape[1]
     return Contacts(
@@ -402,6 +403,7 @@ def make_physics_node(
         return _narrowphase_mixed_pallas(
             body, om, cands, sublane=sublane,
             pair_tile=cfg.narrowphase_pair_tile,
+            vmem_limit_mb=cfg.narrowphase_vmem_mb,
         )
 
     def physics_step(sm_, state: SimState, node_key) -> SimState:
@@ -536,7 +538,7 @@ def setup_physics_step_tasks(
 
 
 def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
-                          sublane=False, pair_tile=8):
+                          sublane=False, pair_tile=8, vmem_limit_mb=0):
     """Pallas-kernel hull-hull lane (ops/narrowphase_pallas): same
     outputs as the hh segment of _narrowphase_all. ``sublane=True``
     selects the pairs-in-sublanes variant (pair axis padded to the
@@ -559,6 +561,7 @@ def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
         fn = npk.make_hh_narrowphase_sublane(
             om.hull_dims, n, om.hull_pack.shape[0], pair_tile=pt,
             tile_w=min(128, w), interpret=interpret,
+            vmem_limit_mb=vmem_limit_mb,
         )
         rec = fn(nb_t, obj_t, pairs_t, om.hull_pack_planar)[:p_real]
     else:

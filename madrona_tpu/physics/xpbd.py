@@ -78,8 +78,12 @@ class PhysicsConfig:
     megakernel_vmem_mb: int = 0
     # pair tile of the sublane narrowphase kernel (pairs pad up to it).
     # 8 is the VMEM-feasible point for box-class hulls at tile_w=128
-    # (16 exceeds scoped vmem by ~8M; 4 also fails to place)
+    # under the default scoped-VMEM budget (16 exceeds it by ~8M; 4
+    # fails to place). Raise narrowphase_vmem_mb to chase 16.
     narrowphase_pair_tile: int = 8
+    # >0: raise the sublane narrowphase kernel's scoped-VMEM cap (MB),
+    # e.g. to fit pair_tile=16 (physical ceiling ~16MB/core applies)
+    narrowphase_vmem_mb: int = 0
     # "all_pairs": O(n²) masked upper-triangle (exact, best for the
     #   example envs' tens of bodies — SURVEY §7 "masked pairs first").
     # "swept": sort-by-x sweep-and-prune, O(N log N + N·window), the

@@ -11,11 +11,12 @@ WebViewer serves the full interactive loop (flycam, pause/step, world
 switch, keyboard agent control) to a browser over stdlib HTTP.
 """
 
+from .playback import PlaybackViewer
 from .recorder import Recorder
 from .viewer import render_topdown, save_png, save_frame_grid
 from .web_viewer import WebViewer
 
 __all__ = [
-    "Recorder", "render_topdown", "save_png", "save_frame_grid",
-    "WebViewer",
+    "PlaybackViewer", "Recorder", "render_topdown", "save_png",
+    "save_frame_grid", "WebViewer",
 ]

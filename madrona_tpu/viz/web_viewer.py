@@ -53,18 +53,51 @@ def _png_bytes(img: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def flycam_quat(yaw: float, pitch: float) -> np.ndarray:
+    """Free-camera orientation quaternion (w,x,y,z): yaw around -z
+    (screen-right positive), then pitch around +x."""
+    cy, sy = np.cos(yaw / 2), np.sin(yaw / 2)
+    cp, sp = np.cos(pitch / 2), np.sin(pitch / 2)
+    qz = np.array([cy, 0.0, 0.0, -sy])
+    qx = np.array([cp, sp, 0.0, 0.0])
+    w1, x1, y1, z1 = qz
+    w2, x2, y2, z2 = qx
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def rgbd_panel(rgb: np.ndarray, depth: Optional[np.ndarray]) -> np.ndarray:
+    """Compose one agent view into an [H, W or 2W, 3] float panel:
+    RGB left, per-frame-normalized depth grayscale right (the RGBD
+    overlay the reference viewer shows from its batch renderer,
+    viewer.cpp's flyCamera/batchView toggle)."""
+    rgb = np.asarray(rgb, np.float32)
+    if depth is None:
+        return rgb
+    d = np.asarray(depth, np.float32)
+    d = d / max(float(np.max(d)), 1e-6)
+    return np.concatenate([rgb, np.repeat(d[..., None], 3, axis=-1)], axis=1)
+
+
 _PAGE = """<!doctype html>
 <html><head><title>madrona_tpu viewer</title><style>
 body { background: #111; color: #ddd; font-family: monospace; }
 img { image-rendering: pixelated; border: 1px solid #444; }
 #hud { margin: 8px 0; }
+#agents img { height: 128px; margin-right: 4px; }
 </style></head><body>
 <div id="hud">loading…</div>
 <img id="cam" width="640" height="480">
 <img id="top" width="480" height="480">
+<div id="agents"></div>
 <div>W/A/S/D move · Q/E down/up · arrows look · Space pause · N step ·
 R reset · [ ] world</div>
 <script>
+let numViews = 0;
 async function refresh() {
   const t = Date.now();
   document.getElementById('cam').src = '/frame.png?t=' + t;
@@ -74,6 +107,18 @@ async function refresh() {
     `world ${s.world}  step ${s.step}  ` +
     (s.paused ? 'PAUSED' : 'running') +
     `  cam ${s.cam.map(v => v.toFixed(1))}`;
+  if (s.num_views !== numViews) {
+    numViews = s.num_views;
+    const row = document.getElementById('agents');
+    row.innerHTML = '';
+    for (let v = 0; v < numViews; v++) {
+      const im = document.createElement('img');
+      im.id = 'agent' + v;
+      row.appendChild(im);
+    }
+  }
+  for (let v = 0; v < numViews; v++)
+    document.getElementById('agent' + v).src = `/agent.png?v=${v}&t=${t}`;
 }
 setInterval(refresh, 100);
 document.addEventListener('keydown', e => {
@@ -103,7 +148,8 @@ class WebViewer:
                  inputs_fn: Optional[Callable[[], Dict]] = None,
                  key_to_inputs: Optional[Callable] = None,
                  world: int = 0, fps: float = 20.0,
-                 body_mask=None):
+                 body_mask=None,
+                 rgb_key: str = "rgb", depth_key: str = "depth"):
         import jax
         import jax.numpy as jnp
 
@@ -121,6 +167,11 @@ class WebViewer:
         self.pitch = -0.3
         self.key_to_inputs = key_to_inputs
         self.body_arch = body_arch
+        # step-output keys holding agent RGBD views ([W,V,H,Wd,3] /
+        # [W,V,H,Wd]); populated by the env's render graph if any
+        self.rgb_key = rgb_key
+        self.depth_key = depth_key
+        self.last_outputs: Dict = {}
         self._mesh = mesh
         self._render_obj = np.asarray(render_obj, np.int32)
         n = self._render_obj.shape[0]
@@ -211,8 +262,9 @@ class WebViewer:
         return int(t.columns["Position"].shape[0])
 
     def _advance_locked(self):
-        state, _ = self._step(self.sim.state, self.inputs)
+        state, outputs = self._step(self.sim.state, self.inputs)
         self.sim.state = state
+        self.last_outputs = outputs or {}
         self.step_count += 1
         self.inputs = self.inputs_fn()   # one-shot inputs decay to zero
 
@@ -223,8 +275,9 @@ class WebViewer:
             inp["reset"] = (
                 jnp.zeros_like(inp["reset"]).at[self.world].set(1)
             )
-        state, _ = self._step(self.sim.state, inp)
+        state, outputs = self._step(self.sim.state, inp)
         self.sim.state = state
+        self.last_outputs = outputs or {}
         self.step_count += 1
 
     def tick(self) -> None:
@@ -236,19 +289,11 @@ class WebViewer:
     # ------------------------------------------------------------- frames
 
     def _cam_quat(self) -> np.ndarray:
-        cy, sy = np.cos(self.yaw / 2), np.sin(self.yaw / 2)
-        cp, sp = np.cos(self.pitch / 2), np.sin(self.pitch / 2)
-        # yaw around -z (screen-right positive), then pitch around +x
-        qz = np.array([cy, 0.0, 0.0, -sy])
-        qx = np.array([cp, sp, 0.0, 0.0])
-        w1, x1, y1, z1 = qz
-        w2, x2, y2, z2 = qx
-        return np.array([
-            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-        ])
+        return flycam_quat(self.yaw, self.pitch)
+
+    def _num_views(self) -> int:
+        rgb = self.last_outputs.get(self.rgb_key)
+        return 0 if rgb is None or np.ndim(rgb) < 5 else int(rgb.shape[1])
 
     def frame_png(self) -> bytes:
         jnp = self._jnp
@@ -262,6 +307,25 @@ class WebViewer:
                 jnp.asarray(self._cam_quat(), jnp.float32),
             )
         return _png_bytes(np.asarray(img))
+
+    def agent_png(self, view: int = 0) -> bytes:
+        """One agent camera's RGBD observation from the last step's
+        outputs (RGB | normalized-depth side by side) — the reference
+        viewer's batch-renderer view panel."""
+        with self._lock:
+            nv = self._num_views()
+            if nv == 0:
+                return _png_bytes(np.full((8, 8, 3), 0.15, np.float32))
+            view = min(max(view, 0), nv - 1)
+            rgb = np.asarray(
+                self.last_outputs[self.rgb_key][self.world, view],
+                np.float32,
+            )
+            d = self.last_outputs.get(self.depth_key)
+            d = None if d is None else self.last_outputs[self.depth_key][
+                self.world, view
+            ]
+            return _png_bytes(rgbd_panel(rgb, d))
 
     def topdown_png(self) -> bytes:
         with self._lock:
@@ -281,6 +345,7 @@ class WebViewer:
                 "paused": self.paused,
                 "cam": list(self.cam_pos) + [self.yaw, self.pitch],
                 "num_worlds": self._num_worlds(),
+                "num_views": self._num_views(),
             }).encode()
 
     # ------------------------------------------------------------- server
@@ -301,6 +366,11 @@ class WebViewer:
                         body, ctype = viewer.frame_png(), "image/png"
                     elif path == "/topdown.png":
                         body, ctype = viewer.topdown_png(), "image/png"
+                    elif path == "/agent.png":
+                        from urllib.parse import parse_qs
+
+                        v = int(parse_qs(query).get("v", ["0"])[0])
+                        body, ctype = viewer.agent_png(v), "image/png"
                     elif path == "/state":
                         body, ctype = viewer.state_json(), "application/json"
                     elif path == "/key":
