@@ -940,20 +940,22 @@ def _face_manifold_s(ref_poly, ref_mask, ref_n, ref_d, other, dims):
     return _reduce4_s(proj, -d, below, ref_n, fv + fv * fv)
 
 
-def _hh_kernel_sublane(dims, n_bodies, n_obj, rows_a_ref, rows_b_ref,
-                       nb_ref, obj_ref, pack_ref, out_ref):
+def hh_sat_planes(dims, n_bodies, n_obj, rows_a, rows_b, nb, obj, pack):
+    """The SAT body of the sublane kernel as a pure planes->planes
+    function, reusable from other kernels (the fused physics-step
+    megakernel calls it per pair chunk — ops/physics_megakernel.py).
+
+    rows_a/rows_b [PT, TW] i32; nb [N, 10, TW] (pos|rot|scale);
+    obj [N, TW] f32 object ids; pack [O, K] planar hull pack.
+    Returns dict: ref/alt [PT, TW] f32 (sentinel n when invalid),
+    num [PT, TW] f32, nrm 3x[PT, TW], px/py/pz/pd each [PT, 4, TW].
+    """
     v, f, fv, e = dims
     n = n_bodies
-    # pairs arrive as two [PT, TW] blocks (removing the middle dim of a
-    # [PT, 2, TW] tile is an unsupported Mosaic relayout)
-    rows_a = rows_a_ref[:]
-    rows_b = rows_b_ref[:]
     valid_pair = rows_a < n
     ra = jnp.clip(rows_a, 0, n - 1)
     rb = jnp.clip(rows_b, 0, n - 1)
 
-    nb = nb_ref[:]                                 # [N, 10, TW]
-    obj = obj_ref[:]                               # [N, TW]
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
 
     def fetch(rows):
@@ -968,11 +970,11 @@ def _hh_kernel_sublane(dims, n_bodies, n_obj, rows_a_ref, rows_b_ref,
     blk_b, obj_b = fetch(rb)
 
     pt, _, tw = blk_a.shape
-    k = pack_ref.shape[1]
+    k = pack.shape[1]
     hrow_a = jnp.zeros((pt, k, tw), jnp.float32)
     hrow_b = jnp.zeros((pt, k, tw), jnp.float32)
     for o in range(n_obj):
-        row = pack_ref[o, :][None, :, None]
+        row = pack[o, :][None, :, None]
         hrow_a = hrow_a + jnp.where((obj_a == o)[:, None, :], row, 0.0)
         hrow_b = hrow_b + jnp.where((obj_b == o)[:, None, :], row, 0.0)
 
@@ -1076,12 +1078,28 @@ def _hh_kernel_sublane(dims, n_bodies, n_obj, rows_a_ref, rows_b_ref,
     pz = jnp.where(isf, f_pts[2], e_pz)
     pd = jnp.where(isf, f_dep, e_d)
 
+    return dict(
+        ref=out_ref_row, alt=out_alt_row,
+        num=jnp.where(valid, n_pts, 0).astype(jnp.float32),
+        nrm=(nrm_out[0][:, 0], nrm_out[1][:, 0], nrm_out[2][:, 0]),
+        px=px, py=py, pz=pz, pd=pd,
+    )
+
+
+def _hh_kernel_sublane(dims, n_bodies, n_obj, rows_a_ref, rows_b_ref,
+                       nb_ref, obj_ref, pack_ref, out_ref):
+    # pairs arrive as two [PT, TW] blocks (removing the middle dim of a
+    # [PT, 2, TW] tile is an unsupported Mosaic relayout)
+    c = hh_sat_planes(
+        dims, n_bodies, n_obj, rows_a_ref[:], rows_b_ref[:],
+        nb_ref[:], obj_ref[:], pack_ref[:],
+    )
     rec = jnp.concatenate(
         [
-            out_ref_row[:, None], out_alt_row[:, None],
-            jnp.where(valid, n_pts, 0).astype(jnp.float32)[:, None],
-            nrm_out[0], nrm_out[1], nrm_out[2],
-            px, py, pz, pd,
+            c["ref"][:, None], c["alt"][:, None], c["num"][:, None],
+            c["nrm"][0][:, None], c["nrm"][1][:, None],
+            c["nrm"][2][:, None],
+            c["px"], c["py"], c["pz"], c["pd"],
         ],
         axis=1,
     )  # [PT, 22, TW]

@@ -382,6 +382,102 @@ def megakernel_substeps(body: BodyState, contacts: Contacts, om, cfg,
     )
 
 
+def megakernel_fused_step(body: BodyState, cands: bp.Candidates, om, cfg,
+                          jbuf: Optional[_joints.Joints] = None,
+                          tile_w: int = 128,
+                          interpret: Optional[bool] = None) -> BodyState:
+    """Whole physics step (narrowphase at predicted poses + every
+    substep) in ONE Pallas call (ops/physics_megakernel) — the full
+    megakernel analogue (src/mw/device/megakernel.cpp runs narrowphase
+    and solver nodes in one persistent kernel). Equals the split path:
+    narrow(integrate(body), cands) -> megakernel_substeps."""
+    from ..ops import physics_megakernel as fpk
+    from ..ops import solver_pallas as spk
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    w, n = body.pos.shape[:2]
+    h = cfg.dt / cfg.substeps
+
+    params = om.obj_params(body.obj_id)
+    static = body.response == xpbd.RESPONSE_STATIC
+    dynamic = body.response == xpbd.RESPONSE_DYNAMIC
+    moving = (~static) & body.active
+    f32 = lambda b: b.astype(jnp.float32)[..., None]
+    inv_m_masked = jnp.where(static, 0.0, params["inv_m"])
+    inv_i_masked = jnp.where(static[..., None], 0.0, params["inv_i"])
+    param_t = jnp.concatenate(
+        [
+            inv_m_masked[..., None], inv_i_masked,
+            params["mu_s"][..., None], params["mu_d"][..., None],
+            f32(dynamic), f32(moving), f32(static),
+            body.ext_force, body.ext_torque, f32(body.active),
+            params["inv_m"][..., None], params["inv_i"],
+        ],
+        axis=-1,
+    )  # [W, N, PARAM_F]
+    state_t = jnp.concatenate(
+        [body.pos, body.rot, body.vel, body.omega], axis=-1
+    )  # [W, N, STATE_F]
+    n_obj = om.hull_pack.shape[0]
+    obj_oh = jax.nn.one_hot(body.obj_id, n_obj)          # [W, N, O]
+    srad = jnp.einsum(
+        "wno,o->wn", obj_oh, om.sphere_radius,
+        preferred_element_type=jnp.float32,
+    )
+    aux_t = jnp.concatenate(
+        [body.scale, srad[..., None]], axis=-1
+    )  # [W, N, AUX_F]
+
+    t3 = lambda a: jnp.transpose(a, (2, 1, 0))
+    t2 = lambda a: jnp.transpose(a, (1, 0))
+    jargs = ()
+    n_joints = 0
+    if jbuf is not None:
+        n_joints = jbuf.capacity
+        jok = (
+            jbuf.active & (jbuf.e1 >= 0) & (jbuf.e1 < n)
+            & (jbuf.e2 >= 0) & (jbuf.e2 < n)
+        )
+        jnt_t = jnp.concatenate(
+            [
+                jbuf.r1, jbuf.r2, jbuf.attach_q1, jbuf.attach_q2,
+                jbuf.separation[..., None], jbuf.a1_local, jbuf.a2_local,
+                jok.astype(jnp.float32)[..., None],
+                (jbuf.jtype == _joints.JOINT_FIXED).astype(
+                    jnp.float32
+                )[..., None],
+            ],
+            axis=-1,
+        )
+        jargs = (t2(jbuf.e1), t2(jbuf.e2), t3(jnt_t))
+    fn = fpk.make_fused_step(
+        om.hull_dims, n, n_obj, cfg.substeps, cfg.jacobi_iters, h,
+        cfg.gravity, cfg.restitution, cfg.restitution_threshold,
+        geo.TYPE_PLANE, geo.TYPE_HULL,
+        n_joints=n_joints, tile_w=min(tile_w, w), interpret=interpret,
+        loop=cfg.megakernel_loop, pair_chunk=cfg.fused_pair_chunk,
+        vmem_limit_mb=cfg.megakernel_vmem_mb,
+    )
+    out = fn(
+        t3(state_t), t3(aux_t), t3(param_t),
+        t2(body.obj_id.astype(jnp.float32)),
+        t2(cands.hh[..., 0]), t2(cands.hh[..., 1]),
+        t2(cands.hp[..., 0]), t2(cands.hp[..., 1]),
+        t2(cands.sp[..., 0]), t2(cands.sp[..., 1]), t2(cands.sp_kind),
+        om.hull_pack_planar, *jargs,
+    )
+    out = jnp.transpose(out, (2, 1, 0))               # [W, N, OUT_F]
+    return dataclasses.replace(
+        body,
+        pos=out[..., 0:3], rot=out[..., 3:7],
+        vel=out[..., 7:10], omega=out[..., 10:13],
+        prev_x=out[..., 13:16], prev_q=out[..., 16:20],
+        presolve_x=out[..., 20:23], presolve_q=out[..., 23:27],
+        presolve_v=out[..., 27:30], presolve_w=out[..., 30:33],
+    )
+
+
 def make_physics_node(
     sm: StateManager,
     om: ObjectManager,
@@ -453,6 +549,23 @@ def make_physics_node(
             return write_back(sm_, state, body)
 
         jacobi = cfg.solver == "jacobi"
+
+        if cfg.megakernel_fused:
+            if not (jacobi and cfg.narrowphase_once):
+                raise ValueError(
+                    "PhysicsConfig.megakernel_fused requires "
+                    "solver='jacobi' and narrowphase_once=True"
+                )
+            body = megakernel_fused_step(
+                body, cands, om, cfg, jbuf=jbuf,
+                tile_w=cfg.megakernel_tile,
+            )
+            body = dataclasses.replace(
+                body,
+                ext_force=jnp.zeros_like(body.ext_force),
+                ext_torque=jnp.zeros_like(body.ext_torque),
+            )
+            return write_back(sm_, state, body)
 
         frozen_contacts = None
         if cfg.narrowphase_once:

@@ -84,6 +84,14 @@ class PhysicsConfig:
     # >0: raise the sublane narrowphase kernel's scoped-VMEM cap (MB),
     # e.g. to fit pair_tile=16 (physical ceiling ~16MB/core applies)
     narrowphase_vmem_mb: int = 0
+    # True: run narrowphase + the whole substep loop in ONE Pallas call
+    # (ops/physics_megakernel) — contacts never leave VMEM. Requires
+    # solver="jacobi" and narrowphase_once=True; supersedes
+    # megakernel/narrowphase when set.
+    megakernel_fused: bool = False
+    # hull-hull SAT pair-chunk inside the fused kernel (0 = all pairs in
+    # one sweep; smaller chunks shrink the live SAT working set)
+    fused_pair_chunk: int = 0
     # "all_pairs": O(n²) masked upper-triangle (exact, best for the
     #   example envs' tens of bodies — SURVEY §7 "masked pairs first").
     # "swept": sort-by-x sweep-and-prune, O(N log N + N·window), the

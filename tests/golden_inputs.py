@@ -118,6 +118,99 @@ def golden_case():
     return om, body, cands, contacts, cfg
 
 
+def make_om_full():
+    """Object set exercising every narrowphase lane of the fused kernel
+    (plane + two boxes + sphere)."""
+    reg = pb.ObjectRegistry()
+    reg.add_plane()
+    reg.add_hull(geo.box_hull((0.5, 0.5, 0.5)), mass=1.0)
+    reg.add_hull(geo.box_hull((0.4, 0.8, 0.3)), mass=2.5)
+    reg.add_sphere(0.45, mass=0.8)
+    return reg.build()
+
+
+def make_full_candidates(rs, body_obj):
+    """Host-built typed candidate buffers covering hh/hp/sp lanes.
+
+    Built in numpy (not via the jax broadphase) so the SAME candidate
+    bytes feed the kernel on every backend."""
+    from madrona_tpu.physics.broadphase import Candidates
+
+    hull_rows = [
+        [r for r in range(1, N) if body_obj[w, r] in (1, 2)]
+        for w in range(W)
+    ]
+    sph_rows = [
+        [r for r in range(1, N) if body_obj[w, r] == 3] for w in range(W)
+    ]
+    cap_hh, cap_hp, cap_s = 16, 8, 8
+    hh = np.full((W, cap_hh, 2), N, np.int32)
+    hp = np.full((W, cap_hp, 2), N, np.int32)
+    sp = np.full((W, cap_s, 2), N, np.int32)
+    spk = np.zeros((W, cap_s), np.int32)
+    hh_n = np.zeros((W,), np.int32)
+    hp_n = np.zeros((W,), np.int32)
+    sp_n = np.zeros((W,), np.int32)
+    for w in range(W):
+        hs = hull_rows[w]
+        k = min(cap_hh - 2, max(2, len(hs) - 1))
+        for i in range(k):
+            a, b = hs[i], hs[(i + 1 + rs.randint(0, len(hs) - 1))
+                            % len(hs)]
+            if a == b:
+                b = hs[(i + 1) % len(hs)]
+            hh[w, i] = (min(a, b), max(a, b))
+        hh_n[w] = k
+        kp = min(cap_hp, len(hs))
+        for i in range(kp):
+            hp[w, i] = (hs[i], 0)            # (hull, plane row 0)
+        hp_n[w] = kp
+        ss = sph_rows[w]
+        i = 0
+        for s in ss[:cap_s]:
+            partner = hs[rs.randint(0, len(hs))] if i % 3 == 0 else (
+                0 if i % 3 == 1 else (ss[(i + 1) % len(ss)]
+                                      if len(ss) > 1 else 0)
+            )
+            if partner == s:
+                partner = 0
+            sp[w, i] = (s, partner)
+            if partner == 0:
+                spk[w, i] = geo.TYPE_PLANE
+            elif body_obj[w, partner] == 3:
+                spk[w, i] = geo.TYPE_SPHERE
+            else:
+                spk[w, i] = geo.TYPE_HULL
+            i += 1
+        sp_n[w] = i
+    return Candidates(
+        hh=jnp.asarray(hh), hh_num=jnp.asarray(hh_n),
+        hp=jnp.asarray(hp), hp_num=jnp.asarray(hp_n),
+        sp=jnp.asarray(sp), sp_num=jnp.asarray(sp_n),
+        sp_kind=jnp.asarray(spk),
+        overflow=jnp.zeros((W,), bool),
+    )
+
+
+def fused_case():
+    """(om, body, cands, cfg) for the fused whole-step kernel
+    (ops/physics_megakernel) — all three narrowphase lanes live."""
+    rs = np.random.RandomState(SEED + 1)
+    om = make_om_full()
+    body = make_body(rs)
+    obj = np.asarray(rs.randint(1, 4, (W, N)), np.int32)
+    obj[:, 0] = 0
+    import dataclasses
+
+    body = dataclasses.replace(body, obj_id=jnp.asarray(obj))
+    cands = make_full_candidates(rs, obj)
+    cfg = PhysicsConfig(
+        dt=1.0 / 30.0, substeps=4, solver="jacobi", jacobi_iters=2,
+        narrowphase_once=True, megakernel_fused=True,
+    )
+    return om, body, cands, cfg
+
+
 def run_kernels(interpret: bool):
     """Run both Pallas kernels on the golden inputs; returns a dict of
     numpy output arrays (the golden payload)."""
@@ -138,5 +231,13 @@ def run_kernels(interpret: bool):
     out.update({
         "mk_pos": body2.pos, "mk_rot": body2.rot,
         "mk_vel": body2.vel, "mk_omega": body2.omega,
+    })
+    om_f, body_f, cands_f, cfg_f = fused_case()
+    body3 = api.megakernel_fused_step(
+        body_f, cands_f, om_f, cfg_f, tile_w=8, interpret=interpret
+    )
+    out.update({
+        "fk_pos": body3.pos, "fk_rot": body3.rot,
+        "fk_vel": body3.vel, "fk_omega": body3.omega,
     })
     return {k: np.asarray(v) for k, v in out.items()}
