@@ -51,6 +51,10 @@ def pick_flagship():
             HideSeek(render_size=rs, tlas_max_instances=k),
             worlds or 1024, 100,
         )
+    if which == "cartpole":
+        from madrona_tpu.models.cartpole import Cartpole
+
+        return "cartpole", Cartpole(), worlds or 16384, 500
     try:
         from madrona_tpu.models.escape_room import EscapeRoom
 
@@ -85,24 +89,63 @@ def main():
     # observations live on device each step for the learner; stacking
     # T x all-exports into rollout buffers is a learner-side choice and
     # is bandwidth-dominated by buffer padding, not simulation).
+    #
+    # MADRONA_TPU_BENCH_CHUNK=K > 1 wraps K steps in one lax.scan'd
+    # device program (per-step outputs stacked [K, ...] — exactly what a
+    # JAX-native learner's rollout collection consumes), so per-call
+    # dispatch latency through the remote tunnel amortizes over K steps
+    # instead of bounding throughput. The reference's analogue is CUDA
+    # graph replay per step at ~us launch cost (cuda_exec.cpp:2756).
+    import os
+
+    chunk = int(os.environ.get("MADRONA_TPU_BENCH_CHUNK", "1"))
     step = sim.step_fn()
     state = sim.state
-    per_step = [
-        {k: v[t] for k, v in inputs.items()} for t in range(steps)
-    ]
-    # two-step warmup: the first call compiles for the initial-state
-    # layouts, the second compiles the steady-state variant (XLA may
-    # pick different output layouts, so step(step(s)) re-specializes)
-    state, outs = step(state, per_step[0])
-    state, outs = step(state, per_step[1])
-    jax.block_until_ready(outs["done"])
+    if chunk > 1:
+        steps = (steps // chunk) * chunk
+        n_chunks = steps // chunk
+        chunked = {
+            k: v[:steps].reshape((n_chunks, chunk) + v.shape[1:])
+            for k, v in inputs.items()
+        }
+        per_call = [
+            {k: v[i] for k, v in chunked.items()} for i in range(n_chunks)
+        ]
 
-    t0 = time.perf_counter()
-    for t in range(2, steps):
-        state, outs = step(state, per_step[t])
-    jax.block_until_ready(outs["done"])
-    dt = time.perf_counter() - t0
-    steps = steps - 2
+        @jax.jit
+        def run_chunk(state, inp):
+            def body(s, one):
+                s, o = step(s, one)
+                return s, o
+
+            return jax.lax.scan(body, state, inp)
+
+        state, outs = run_chunk(state, per_call[0])
+        state, outs = run_chunk(state, per_call[1])
+        jax.block_until_ready(outs["done"])
+        t0 = time.perf_counter()
+        for i in range(2, n_chunks):
+            state, outs = run_chunk(state, per_call[i])
+        jax.block_until_ready(outs["done"])
+        dt = time.perf_counter() - t0
+        steps = steps - 2 * chunk
+    else:
+        per_step = [
+            {k: v[t] for k, v in inputs.items()} for t in range(steps)
+        ]
+        # two-step warmup: the first call compiles for the initial-state
+        # layouts, the second compiles the steady-state variant (XLA may
+        # pick different output layouts, so step(step(s)) re-specializes)
+        state, outs = step(state, per_step[0])
+        state, outs = step(state, per_step[1])
+        jax.block_until_ready(outs["done"])
+
+        t0 = time.perf_counter()
+        for t in range(2, steps):
+            state, outs = step(state, per_step[t])
+        jax.block_until_ready(outs["done"])
+        dt = time.perf_counter() - t0
+        steps = steps - 2
 
     total_env_steps = (steps) * num_worlds
     rate = total_env_steps / dt
