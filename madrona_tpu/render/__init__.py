@@ -16,8 +16,10 @@ from .blas import (
     trace_rays_blas, trace_scene_blas,
 )
 from .materials import MaterialTables, bake_materials, sample_materials
+from .lights import Lights, make_lights
 
 __all__ = [
+    "Lights", "make_lights",
     "MeshRegistry", "MeshTables", "MAX_TRIS",
     "RenderConfig", "render_views", "camera_rays", "RenderingSystem",
     "TLAS", "build_tlas", "tlas_candidates", "render_views_tlas",

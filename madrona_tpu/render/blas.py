@@ -309,6 +309,7 @@ def trace_scene_blas(
     inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,  # [I, ...]
     origins, dirs,                                        # [R, 3]
     materials=None,
+    lights=None,
 ):
     """Nearest hit over all instances via per-(instance, ray) walks;
     same contract as raycast._trace_rays: returns (rgb [R,3], depth [R]).
@@ -317,7 +318,12 @@ def trace_scene_blas(
     base_color x texture(uv) x (ambient + lambert), the reference's
     computeFragment path (bvh_raycast.cpp:776-790); otherwise flat
     per-tri colors. ``cfg.shadows`` adds one occlusion trace toward the
-    light per pixel (bvh_raycast.cpp:898-912).
+    light per pixel (bvh_raycast.cpp:898-912). With ``lights``
+    (render.lights.Lights rows for this world, [L] capacity) shading
+    runs the reference's full multi-light loop instead — directional +
+    spotlight cones + per-light shadow casting
+    (bvh_raycast.cpp:865-925); cfg.shadows then gates whether ANY
+    occlusion rays are traced (one per light).
     """
     depth, win, w_tri_raw, u, v = _trace_nearest(
         cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
@@ -356,6 +362,30 @@ def trace_scene_blas(
     else:
         albedo = blas.tri_color[w_obj, w_tri]
 
+    def shadow_trace(s_org, s_dir):
+        _, _, s_tri, _, _ = _trace_nearest(
+            cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj,
+            inst_mask, s_org, s_dir, cfg.t_max,
+        )
+        return s_tri >= 0
+
+    if lights is not None:
+        from .lights import light_contrib
+
+        hit_p = origins + depth[:, None] * dirs
+        contrib = light_contrib(
+            lights, hit_p, n_w, hit_any, shadow_trace,
+            use_shadows=bool(cfg.shadows),
+        )
+        # reference: acc = fmaxf(0.2, contrib) * color, clamped
+        # (bvh_raycast.cpp:921-925); the floor here is cfg.ambient
+        shade = jnp.maximum(jnp.float32(cfg.ambient), contrib)
+        rgb = jnp.clip(albedo * shade[:, None], 0.0, 1.0)
+        sky = jnp.asarray(cfg.sky_color, jnp.float32)
+        rgb = jnp.where(hit_any[:, None], rgb, sky[None, :])
+        depth = jnp.where(hit_any, depth, cfg.t_max)
+        return rgb, depth
+
     light_scale = jnp.ones_like(lam)
     if cfg.shadows:
         # occlusion trace from the hit point toward the light
@@ -363,13 +393,9 @@ def trace_scene_blas(
         s_org = hit_p + n_w * jnp.where(
             jnp.sum(n_w * light, axis=-1) >= 0, 1e-2, -1e-2
         )[:, None]
-        s_depth, _, s_tri, _, _ = _trace_nearest(
-            cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj,
-            inst_mask,
-            s_org, jnp.broadcast_to(light[None, :], s_org.shape),
-            cfg.t_max,
-        )
-        occluded = (s_tri >= 0) & hit_any
+        occluded = shadow_trace(
+            s_org, jnp.broadcast_to(light[None, :], s_org.shape)
+        ) & hit_any
         light_scale = jnp.where(occluded, cfg.shadow_ambient, 1.0)
 
     shade = cfg.ambient + (1 - cfg.ambient) * lam * light_scale
@@ -382,27 +408,30 @@ def trace_scene_blas(
 
 def render_views_blas(
     cfg, blas: BlasTables, inst_pos, inst_rot, inst_scale, inst_obj,
-    inst_mask, cam_pos, cam_rot, materials=None,
+    inst_mask, cam_pos, cam_rot, materials=None, lights=None,
 ):
-    """BLAS-tier analogue of raycast.render_views ([W, ...] batches)."""
+    """BLAS-tier analogue of raycast.render_views ([W, ...] batches).
+    ``lights``: render.lights.Lights with [W, L] tables (per-world
+    slices feed the multi-light shading loop)."""
     from .raycast import camera_rays
 
     h, w = cfg.height, cfg.width
 
-    def per_cam(ip, ir, isc, io, im, cp, cr):
+    def per_cam(ip, ir, isc, io, im, lt, cp, cr):
         o, d = camera_rays(cfg, cp, cr)
         rgb, dep = trace_scene_blas(
             cfg, blas, ip, ir, isc, io, im,
             o.reshape(-1, 3), d.reshape(-1, 3), materials=materials,
+            lights=lt,
         )
         return rgb.reshape(h, w, 3), dep.reshape(h, w)
 
     per_world = jax.vmap(
-        lambda ip, ir, isc, io, im, cps, crs: jax.vmap(
-            lambda cp, cr: per_cam(ip, ir, isc, io, im, cp, cr)
+        lambda ip, ir, isc, io, im, lt, cps, crs: jax.vmap(
+            lambda cp, cr: per_cam(ip, ir, isc, io, im, lt, cp, cr)
         )(cps, crs)
     )
     return per_world(
-        inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+        inst_pos, inst_rot, inst_scale, inst_obj, inst_mask, lights,
         cam_pos, cam_rot,
     )

@@ -45,11 +45,15 @@ class RenderingSystem:
         tlas_max_instances: int = 0,  # >0: per-view top-K TLAS cull tier
         blas=None,                   # BlasTables: device mesh-BVH tier
         materials=None,              # MaterialTables for the BLAS tier
+        lights=None,                 # lights.Lights [W, L] (static)
+        lights_fn=None,              # or fn(state) -> Lights (dynamic)
     ):
         self.mesh = mesh
         self.cfg = cfg
         self.blas = blas
         self.materials = materials
+        self.lights = lights
+        self.lights_fn = lights_fn
         self.body_arch = body_arch
         self.render_obj = jnp.asarray(render_obj_of_body, jnp.int32)
         self.camera_rows = tuple(camera_rows)
@@ -101,10 +105,14 @@ class RenderingSystem:
             # sampled per hit (:776-912)
             from .blas import render_views_blas
 
+            lights = (
+                self.lights_fn(state) if self.lights_fn is not None
+                else self.lights
+            )
             rgb, depth = render_views_blas(
                 self.cfg, self.blas, pos, rot, scale, inst_obj,
                 inst_mask, cam_pos, cam_rot,
-                materials=self.materials,
+                materials=self.materials, lights=lights,
             )
             singles = dict(state.singletons)
             singles["RGBOut"] = rgb

@@ -1,0 +1,207 @@
+"""Multi-light shading (render/lights.py) through the BLAS tracer —
+directional + spotlight cones + per-light shadows, the reference's
+bvh_raycast.cpp:865-925 loop."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madrona_tpu.assets.bvh import build_mesh_bvh
+from madrona_tpu.render import Lights, make_lights
+from madrona_tpu.render.blas import bake_blas, trace_scene_blas
+from madrona_tpu.render.raycast import RenderConfig
+
+
+def _quad(span=6.0, z=0.0):
+    v = np.array([
+        [-span, -span, z], [span, -span, z],
+        [span, span, z], [-span, span, z],
+    ], np.float32)
+    t = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return v, t
+
+
+def _box(half=0.5):
+    s = half
+    v = np.array([
+        [-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s],
+        [-s, -s, s], [s, -s, s], [s, s, s], [-s, s, s],
+    ], np.float32)
+    t = np.array([
+        [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+        [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+        [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7],
+    ], np.int32)
+    return v, t
+
+
+@pytest.fixture(scope="module")
+def scene():
+    """Ground quad at z=0 + unit box centered at (0,0,1)."""
+    gv, gt = _quad()
+    bv, bt = _box()
+    blas = bake_blas(
+        [build_mesh_bvh(gv, gt), build_mesh_bvh(bv, bt)],
+        colors=[(0.8, 0.8, 0.8), (0.9, 0.3, 0.3)],
+    )
+    inst_pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    inst_rot = jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
+    inst_scale = jnp.ones((2, 3))
+    inst_obj = jnp.asarray([0, 1], jnp.int32)
+    inst_mask = jnp.ones((2,), bool)
+    return blas, (inst_pos, inst_rot, inst_scale, inst_obj, inst_mask)
+
+
+def _down_rays(xys):
+    """Vertical rays hitting the ground (or box top) from z=8."""
+    n = len(xys)
+    o = np.array([[x, y, 8.0] for x, y in xys], np.float32)
+    d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (n, 1))
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _one_world(lights):
+    """make_lights builds [W, L]; slice world 0 for trace_scene_blas."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda a: a[0], lights)
+
+
+def test_directional_shadow(scene):
+    """Straight-down light: ground under the box is occluded; ground in
+    the open is lit; with cast_shadow=False both are equally lit."""
+    blas, inst = scene
+    cfg = RenderConfig(shadows=True, ambient=0.2)
+    o, d = _down_rays([(0.0, 0.0), (3.0, 3.0)])  # under box / open
+
+    lit = make_lights(1, [
+        {"direction": (0, 0, -1), "cast_shadow": True},
+    ])
+    rgb, depth = trace_scene_blas(
+        cfg, blas, *inst, o, d, lights=_one_world(lit)
+    )
+    rgb = np.asarray(rgb)
+    # ray 0 hits the box TOP (depth ~7), ray 1 the ground (depth ~8)
+    assert np.asarray(depth)[0] < 7.5 < np.asarray(depth)[1]
+    # open ground fully lit; box top also lit (nothing above it)
+    assert rgb[1].mean() > 0.6
+    # now a ray that hits ground UNDER the overhang: use a point just
+    # inside the box footprint but the box floats at z=0.5..1.5, so the
+    # ground below it is shadowed
+    o2, d2 = _down_rays([(0.2, 0.2)])
+    # that ray hits the box first; instead ray from the side region
+    # shadowed by the box: light is vertical, so shadow = footprint.
+    # Trace from below the box is impossible with vertical rays — use a
+    # tilted light instead.
+    lit2 = make_lights(1, [
+        {"direction": (-1, 0, -1), "cast_shadow": True},
+    ])
+    # light travels (-1,0,-1): the box (x in [-.5,.5], z in [.5,1.5])
+    # shadows ground on the -x side; (-1, 0) is shadowed, (4, 0) open
+    o3, d3 = _down_rays([(-1.0, 0.0), (4.0, 0.0)])
+    rgb3, _ = trace_scene_blas(
+        cfg, blas, *inst, o3, d3, lights=_one_world(lit2)
+    )
+    rgb3 = np.asarray(rgb3)
+    assert rgb3[0].mean() < rgb3[1].mean() - 0.1, (
+        "shadowed ground must be darker than open ground"
+    )
+    # same scene without shadow casting: both equally lit
+    lit3 = make_lights(1, [
+        {"direction": (-1, 0, -1), "cast_shadow": False},
+    ])
+    rgb4, _ = trace_scene_blas(
+        cfg, blas, *inst, o3, d3, lights=_one_world(lit3)
+    )
+    rgb4 = np.asarray(rgb4)
+    np.testing.assert_allclose(rgb4[0], rgb4[1], atol=1e-5)
+
+
+def test_spotlight_cone(scene):
+    """A narrow spotlight above (0,0): ground at the center is lit,
+    ground outside the cone falls to the ambient floor."""
+    blas, inst = scene
+    cfg = RenderConfig(shadows=False, ambient=0.2)
+    lit = make_lights(1, [
+        {"position": (3.0, 3.0, 4.0), "direction": (0, 0, -1),
+         "cutoff": 0.35},
+    ])
+    o, d = _down_rays([(3.0, 3.0), (-4.0, -4.0)])  # in cone / far out
+    rgb, _ = trace_scene_blas(
+        cfg, blas, *inst, o, d, lights=_one_world(lit)
+    )
+    rgb = np.asarray(rgb)
+    in_cone, out_cone = rgb[0].mean(), rgb[1].mean()
+    assert in_cone > out_cone + 0.2
+    # outside the cone only the ambient floor survives
+    np.testing.assert_allclose(out_cone, 0.2 * 0.8, atol=0.02)
+
+
+def test_lights_additive_and_inactive(scene):
+    """Two directional lights sum their contributions (clamped); an
+    inactive slot contributes nothing."""
+    blas, inst = scene
+    cfg = RenderConfig(shadows=False, ambient=0.0)
+    o, d = _down_rays([(3.0, 0.0)])
+
+    one = make_lights(1, [{"direction": (0, -0.5, -1)}])
+    two = make_lights(1, [
+        {"direction": (0, -0.5, -1)}, {"direction": (0, 0.5, -1)},
+    ])
+    r1, _ = trace_scene_blas(cfg, blas, *inst, o, d,
+                             lights=_one_world(one))
+    r2, _ = trace_scene_blas(cfg, blas, *inst, o, d,
+                             lights=_one_world(two))
+    assert float(np.asarray(r2).mean()) > float(np.asarray(r1).mean())
+
+    # capacity row beyond the spec list is inactive: same as `one`
+    import dataclasses
+
+    padded = make_lights(1, [{"direction": (0, -0.5, -1)}])
+    padded = dataclasses.replace(
+        padded,
+        direction=jnp.concatenate(
+            [padded.direction,
+             jnp.asarray([[[0.0, 0.0, -1.0]]])], axis=1),
+        position=jnp.concatenate(
+            [padded.position, jnp.zeros((1, 1, 3))], axis=1),
+        is_spot=jnp.concatenate(
+            [padded.is_spot, jnp.zeros((1, 1), bool)], axis=1),
+        cutoff=jnp.concatenate(
+            [padded.cutoff, jnp.full((1, 1), np.pi)], axis=1),
+        cast_shadow=jnp.concatenate(
+            [padded.cast_shadow, jnp.zeros((1, 1), bool)], axis=1),
+        active=jnp.concatenate(
+            [padded.active, jnp.zeros((1, 1), bool)], axis=1),
+        intensity=jnp.concatenate(
+            [padded.intensity, jnp.ones((1, 1))], axis=1),
+    )
+    r3, _ = trace_scene_blas(cfg, blas, *inst, o, d,
+                             lights=_one_world(padded))
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(r1), atol=1e-6)
+
+
+def test_rendering_system_lights_end_to_end(scene):
+    """render_views_blas with [W, L] lights: whole-batch path used by
+    RenderingSystem(lights=...)."""
+    from madrona_tpu.render.blas import render_views_blas
+
+    blas, (ip, ir, isc, io, im) = scene
+    cfg = RenderConfig(width=16, height=12, shadows=True)
+    W = 2
+    bcast = lambda a: jnp.broadcast_to(a[None], (W,) + a.shape)
+    lights = make_lights(W, [
+        {"direction": (-1, 0, -1), "cast_shadow": True},
+    ])
+    cam_pos = jnp.tile(jnp.asarray([[0.0, -8.0, 3.0]]), (W, 1))[:, None]
+    cam_rot = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (W, 1))[:, None]
+    rgb, depth = render_views_blas(
+        cfg, blas, bcast(ip), bcast(ir), bcast(isc), bcast(io),
+        bcast(im), cam_pos, cam_rot, lights=lights,
+    )
+    assert rgb.shape == (W, 1, 12, 16, 3)
+    assert depth.shape == (W, 1, 12, 16)
+    assert np.all(np.isfinite(np.asarray(rgb)))
+    np.testing.assert_allclose(
+        np.asarray(rgb[0]), np.asarray(rgb[1]), atol=1e-6
+    )
