@@ -46,9 +46,12 @@ def pick_flagship():
 
         k = int(os.environ.get("MADRONA_TPU_BENCH_TLAS_K", "0"))
         rs = int(os.environ.get("MADRONA_TPU_BENCH_RENDER_SIZE", "16"))
+        tier = os.environ.get("MADRONA_TPU_BENCH_RENDER_TIER", "dense")
+        suffix = "" if tier == "dense" else f"_{tier}"
         return (
-            f"hide_seek_pixels{rs}",
-            HideSeek(render_size=rs, tlas_max_instances=k),
+            f"hide_seek_pixels{rs}{suffix}",
+            HideSeek(render_size=rs, tlas_max_instances=k,
+                     render_tier=tier),
             worlds or 1024, 100,
         )
     if which == "cartpole":

@@ -127,20 +127,57 @@ def _make_objects():
 
 
 def _make_meshes():
+    """Register hide&seek's render objects once; material slots 1..6
+    line up with ``_make_materials`` (floor gets the checker texture).
+    Both tiers (dense tracer / BLAS tracer) bake from this registry."""
     reg = MeshRegistry()
     ids = {}
-    ids["plane"] = reg.add_quad(ARENA * 2, color=(0.45, 0.45, 0.45))
-    ids["wall"] = reg.add_box([1.0, 1.0, 1.0], color=(0.6, 0.6, 0.2))
-    ids["box"] = reg.add_box([BOX_HALF] * 3, color=(0.55, 0.3, 0.1))
+    ids["plane"] = reg.add_quad(
+        ARENA * 2, color=(0.45, 0.45, 0.45), uv_tiles=8.0, material=1
+    )
+    ids["wall"] = reg.add_box([1.0, 1.0, 1.0], color=(0.6, 0.6, 0.2),
+                              material=2)
+    ids["box"] = reg.add_box([BOX_HALF] * 3, color=(0.55, 0.3, 0.1),
+                             material=3)
     rverts, rfaces = _wedge_geo()
     tris = []
     for fc in rfaces:
         for k in range(1, len(fc) - 1):
             tris.append((fc[0], fc[k], fc[k + 1]))
-    ids["ramp"] = reg.add_mesh(rverts, tris, color=(0.7, 0.55, 0.2))
-    ids["hider"] = reg.add_box(AGENT_HALF, color=(0.1, 0.4, 0.9))
-    ids["seeker"] = reg.add_box(AGENT_HALF, color=(0.9, 0.15, 0.1))
-    return reg.build(), ids
+    ids["ramp"] = reg.add_mesh(rverts, tris, color=(0.7, 0.55, 0.2),
+                               material=4)
+    ids["hider"] = reg.add_box(AGENT_HALF, color=(0.1, 0.4, 0.9),
+                               material=5)
+    ids["seeker"] = reg.add_box(AGENT_HALF, color=(0.9, 0.15, 0.1),
+                                material=6)
+    return reg, ids
+
+
+def _make_materials(tex_size: int = 32):
+    """Per-object pbr materials + a checkerboard floor texture for the
+    BLAS render tier (the reference's per-leaf material path,
+    bvh_raycast.cpp:776-790; bake asset_processor.cpp:155-254)."""
+    from ..assets.importer import ImportedMaterial, ImportedTexture
+    from ..render.materials import bake_materials
+
+    n = tex_size
+    yy, xx = np.mgrid[0:n, 0:n]
+    check = (((yy // (n // 4)) + (xx // (n // 4))) % 2).astype(np.uint8)
+    img = np.empty((n, n, 4), np.uint8)
+    img[..., :3] = np.where(check[..., None] > 0, 200, 90)
+    img[..., 3] = 255
+    mats = [
+        ImportedMaterial("floor", (1.0, 1.0, 1.0, 1.0),
+                         roughness=0.9, texture=0),
+        ImportedMaterial("wall", (0.6, 0.6, 0.2, 1.0), roughness=0.8),
+        ImportedMaterial("box", (0.55, 0.3, 0.1, 1.0), roughness=0.7),
+        ImportedMaterial("ramp", (0.7, 0.55, 0.2, 1.0), roughness=0.7),
+        ImportedMaterial("hider", (0.1, 0.4, 0.9, 1.0), roughness=0.4),
+        ImportedMaterial("seeker", (0.9, 0.15, 0.1, 1.0), roughness=0.4),
+    ]
+    return bake_materials(
+        mats, [ImportedTexture("checker", img)], tex_size=tex_size
+    )
 
 
 class HideSeek(EnvBase):
@@ -151,10 +188,15 @@ class HideSeek(EnvBase):
     action_buckets = (4, 8, 5, 2, 2)
 
     def __init__(self, render_size: int = 32, pixels: bool = True,
-                 tlas_max_instances: int = 0):
+                 tlas_max_instances: int = 0,
+                 render_tier: str = "dense"):
         self.om, self.obj = _make_objects()
-        self.mesh, self.mobj = _make_meshes()
+        mesh_reg, self.mobj = _make_meshes()
+        self.mesh = mesh_reg.build()
         self.pixels = pixels
+        if render_tier not in ("dense", "blas"):
+            raise ValueError(f"unknown render_tier {render_tier!r}")
+        self.render_tier = render_tier
         import jax
 
         from ..utils.config import env_override
@@ -174,6 +216,7 @@ class HideSeek(EnvBase):
         self.rcfg = RenderConfig(
             width=render_size, height=render_size, fov_deg=90.0,
             t_max=4 * ARENA, dtype="bfloat16",
+            shadows=(render_tier == "blas"),
         )
         render_obj = (
             [self.mobj["plane"], *( [self.mobj["wall"]] * 4 ),
@@ -182,6 +225,16 @@ class HideSeek(EnvBase):
              *( [self.mobj["hider"]] * N_HIDERS ),
              *( [self.mobj["seeker"]] * N_SEEKERS )]
         )
+        blas = materials = None
+        if render_tier == "blas" and pixels:
+            # per-object material render path: checkerboard floor
+            # texture + pbr colors + a shadow-casting sun, through the
+            # device mesh-BVH tracer (bvh_raycast.cpp:776-925)
+            blas = mesh_reg.build_blas()
+            materials = _make_materials()
+            self._light_specs = [
+                {"direction": (0.3, -0.4, -1.0), "cast_shadow": True},
+            ]
         self.rsys = RenderingSystem(
             self.mesh, self.rcfg, RIGID_BODY, render_obj,
             camera_rows=list(range(ROW_AGENT0, ROW_AGENT0 + N_AGENTS)),
@@ -189,7 +242,30 @@ class HideSeek(EnvBase):
             # >0: per-view TLAS top-K cull — bounds the [K, T, R] trace
             # tensors so the pixel path scales past ~1k worlds
             tlas_max_instances=tlas_max_instances,
+            blas=blas, materials=materials,
+            lights_fn=(
+                (lambda state: self._lights_for(state))
+                if blas is not None else None
+            ),
         )
+
+    def _lights_for(self, state):
+        """[W, L] light table sized from the live state (cached per W —
+        the table is static, only its world-batch shape depends on the
+        executor)."""
+        from ..render import make_lights
+
+        import jax
+
+        w = state.singletons["Done"].shape[0]
+        cached = getattr(self, "_lights_cache", None)
+        if cached is None or cached.direction.shape[0] != w:
+            # concrete even when first called inside a jit trace (the
+            # table is a compile-time constant, not per-step data)
+            with jax.ensure_compile_time_eval():
+                cached = make_lights(w, self._light_specs)
+            self._lights_cache = cached
+        return cached
 
     @staticmethod
     def random_actions(rs, steps, num_worlds):

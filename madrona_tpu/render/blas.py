@@ -411,11 +411,19 @@ def render_views_blas(
     inst_mask, cam_pos, cam_rot, materials=None, lights=None,
 ):
     """BLAS-tier analogue of raycast.render_views ([W, ...] batches).
-    ``lights``: render.lights.Lights with [W, L] tables (per-world
-    slices feed the multi-light shading loop)."""
+    ``inst_mask``: [W, I] shared or [W, V, I] per-view (ego cameras
+    excluding their own body). ``lights``: render.lights.Lights with
+    [W, L] tables (per-world slices feed the multi-light shading
+    loop)."""
     from .raycast import camera_rays
 
     h, w = cfg.height, cfg.width
+    n_views = cam_pos.shape[1]
+    if inst_mask.ndim == 2:
+        inst_mask = jnp.broadcast_to(
+            inst_mask[:, None, :],
+            (inst_mask.shape[0], n_views, inst_mask.shape[1]),
+        )
 
     def per_cam(ip, ir, isc, io, im, lt, cp, cr):
         o, d = camera_rays(cfg, cp, cr)
@@ -427,9 +435,9 @@ def render_views_blas(
         return rgb.reshape(h, w, 3), dep.reshape(h, w)
 
     per_world = jax.vmap(
-        lambda ip, ir, isc, io, im, lt, cps, crs: jax.vmap(
-            lambda cp, cr: per_cam(ip, ir, isc, io, im, lt, cp, cr)
-        )(cps, crs)
+        lambda ip, ir, isc, io, ims, lt, cps, crs: jax.vmap(
+            lambda im, cp, cr: per_cam(ip, ir, isc, io, im, lt, cp, cr)
+        )(ims, cps, crs)
     )
     return per_world(
         inst_pos, inst_rot, inst_scale, inst_obj, inst_mask, lights,

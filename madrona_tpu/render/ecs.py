@@ -41,6 +41,7 @@ class RenderingSystem:
         render_obj_of_body,         # [N] int: render object per body row
         camera_rows: Sequence[int],  # body rows that carry a camera
         camera_offset=(0.0, 0.0, 0.0),
+        exclude_self: bool = True,   # each view drops its own body row
         body_mask=None,              # [N] bool: rows that render
         tlas_max_instances: int = 0,  # >0: per-view top-K TLAS cull tier
         blas=None,                   # BlasTables: device mesh-BVH tier
@@ -63,6 +64,19 @@ class RenderingSystem:
             jnp.ones((n,), bool) if body_mask is None
             else jnp.asarray(body_mask, bool)
         )
+        # [V, N] per-view mask: an ego camera must not trace its own
+        # body (the camera eye sits inside/at the agent mesh, so a
+        # shared mask renders the inside of the agent's own head).
+        view_mask = jnp.broadcast_to(
+            self.body_mask[None, :], (len(self.camera_rows), n)
+        )
+        if exclude_self:
+            own = (
+                jnp.arange(n)[None, :]
+                == jnp.asarray(self.camera_rows, jnp.int32)[:, None]
+            )
+            view_mask = view_mask & ~own
+        self.view_mask = view_mask
         self.tlas_max_instances = tlas_max_instances
 
     def register_types(self, reg: ECSRegistry):
@@ -96,7 +110,10 @@ class RenderingSystem:
         )
         cam_rot = rot[:, cam_rows]
 
-        inst_mask = jnp.broadcast_to(self.body_mask[None, :], pos.shape[:2])
+        # [W, V, N]: per-view (self-excluding) visibility
+        inst_mask = jnp.broadcast_to(
+            self.view_mask[None, :, :], (w,) + self.view_mask.shape
+        )
         inst_obj = jnp.broadcast_to(self.render_obj[None, :], pos.shape[:2])
         if self.blas is not None:
             # device BVH traversal tier: imported meshes of real

@@ -41,7 +41,10 @@ class MeshRegistry:
         self._rows: List[dict] = []
 
     def add_mesh(self, verts, tris, color=(0.8, 0.8, 0.8),
-                 tri_colors=None) -> int:
+                 tri_colors=None, uv=None, material=0) -> int:
+        """``uv``: optional [V, 2] vertex UVs and ``material``: material
+        slot (imported id + 1; 0 = default) — carried through to the
+        BLAS tier bake (``build_blas``); the dense tier ignores them."""
         verts = np.asarray(verts, np.float32)
         tris = np.asarray(tris, np.int32)
         if len(tris) > MAX_TRIS:
@@ -53,10 +56,39 @@ class MeshRegistry:
         e2 = verts[tris[:, 2]] - v0
         if tri_colors is None:
             tri_colors = np.tile(np.asarray(color, np.float32), (len(tris), 1))
-        self._rows.append(dict(v0=v0, e1=e1, e2=e2, colors=tri_colors))
+        self._rows.append(dict(
+            v0=v0, e1=e1, e2=e2, colors=tri_colors,
+            verts=verts, tris=tris,
+            uv=None if uv is None else np.asarray(uv, np.float32),
+            material=int(material),
+        ))
         return len(self._rows) - 1
 
-    def add_box(self, half_extents, color=(0.8, 0.8, 0.8)) -> int:
+    def build_blas(self, leaf_size: int = 4):
+        """Bake the SAME registered objects into the device mesh-BVH
+        tier (``render/blas.py::BlasTables``) so an env can flip from
+        the dense tracer to the BLAS tracer without re-declaring
+        geometry — object ids stay aligned across both tiers (the
+        reference keeps one object table feeding both its procedural
+        and mesh paths)."""
+        from ..assets.bvh import build_mesh_bvh
+        from .blas import bake_blas
+
+        if not self._rows:
+            raise ValueError("no meshes registered")
+        bvhs = [
+            build_mesh_bvh(r["verts"], r["tris"], leaf_size=leaf_size)
+            for r in self._rows
+        ]
+        return bake_blas(
+            bvhs,
+            tri_colors=[r["colors"] for r in self._rows],
+            uvs=[r["uv"] for r in self._rows],
+            materials=[r["material"] for r in self._rows],
+        )
+
+    def add_box(self, half_extents, color=(0.8, 0.8, 0.8),
+                uv=None, material=0) -> int:
         hx, hy, hz = np.broadcast_to(
             np.asarray(half_extents, np.float32), (3,)
         )
@@ -76,16 +108,23 @@ class MeshRegistry:
         tris = []
         for a, b, c, d in quads:
             tris += [(a, b, c), (a, c, d)]
-        return self.add_mesh(v, tris, color)
+        return self.add_mesh(v, tris, color, uv=uv, material=material)
 
-    def add_quad(self, size=100.0, color=(0.5, 0.5, 0.5)) -> int:
+    def add_quad(self, size=100.0, color=(0.5, 0.5, 0.5),
+                 uv_tiles: float = 0.0, material=0) -> int:
         """A ground quad in the local z=0 plane (the raster stand-in for
-        the infinite collision plane)."""
+        the infinite collision plane). ``uv_tiles`` > 0 assigns wrapped
+        UVs spanning that many texture repeats across the quad."""
         s = float(size)
         v = np.array(
             [[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]], np.float32
         )
-        return self.add_mesh(v, [(0, 1, 2), (0, 2, 3)], color)
+        uv = None
+        if uv_tiles > 0:
+            t = float(uv_tiles)
+            uv = np.array([[0, 0], [t, 0], [t, t], [0, t]], np.float32)
+        return self.add_mesh(v, [(0, 1, 2), (0, 2, 3)], color,
+                             uv=uv, material=material)
 
     def build(self) -> MeshTables:
         if not self._rows:

@@ -176,10 +176,18 @@ def render_views(cfg: RenderConfig, mesh: MeshTables, inst_pos, inst_rot,
                  inst_scale, inst_obj, inst_mask, cam_pos, cam_rot):
     """Render all camera views of all worlds.
 
-    instances: [W, I, ...]; cameras: [W, V, ...]. Returns
+    instances: [W, I, ...]; cameras: [W, V, ...]; inst_mask either
+    [W, I] (shared across views) or [W, V, I] (per-view — e.g. each
+    ego camera excluding its own body). Returns
     (rgb [W, V, H, Wpx, 3], depth [W, V, H, Wpx]).
     """
     h, w = cfg.height, cfg.width
+    n_views = cam_pos.shape[1]
+    if inst_mask.ndim == 2:
+        inst_mask = jnp.broadcast_to(
+            inst_mask[:, None, :],
+            (inst_mask.shape[0], n_views, inst_mask.shape[1]),
+        )
 
     def per_cam(ip, ir, isc, io, im, cp, cr):
         o, d = camera_rays(cfg, cp, cr)
@@ -190,9 +198,9 @@ def render_views(cfg: RenderConfig, mesh: MeshTables, inst_pos, inst_rot,
         return rgb.reshape(h, w, 3), dep.reshape(h, w)
 
     per_world = jax.vmap(
-        lambda ip, ir, isc, io, im, cps, crs: jax.vmap(
-            lambda cp, cr: per_cam(ip, ir, isc, io, im, cp, cr)
-        )(cps, crs)
+        lambda ip, ir, isc, io, ims, cps, crs: jax.vmap(
+            lambda im, cp, cr: per_cam(ip, ir, isc, io, im, cp, cr)
+        )(ims, cps, crs)
     )
     return per_world(
         inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,

@@ -327,11 +327,17 @@ def render_views_tlas(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
     h, w = cfg.height, cfg.width
     k = max_instances_per_view
     obj_lo, obj_hi = object_aabbs(mesh)
+    n_views = cam_pos.shape[1]
+    if inst_mask.ndim == 2:
+        inst_mask = jnp.broadcast_to(
+            inst_mask[:, None, :],
+            (inst_mask.shape[0], n_views, inst_mask.shape[1]),
+        )
 
-    def per_world(ip, ir, isc, io, im, cps, crs):
+    def per_world(ip, ir, isc, io, ims, cps, crs):
         lo, hi = instance_world_aabbs(obj_lo, obj_hi, ip, ir, isc, io)
 
-        def per_cam(cp, cr):
+        def per_cam(im, cp, cr):
             idx, ok, n_overlap = cull_view_topk(
                 lo, hi, im, cp, cr, k, cfg.fov_deg, w / h, cfg.t_max
             )
@@ -349,7 +355,7 @@ def render_views_tlas(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
             )
             return rgb.reshape(h, w, 3), dep.reshape(h, w), n_overlap
 
-        return jax.vmap(per_cam)(cps, crs)
+        return jax.vmap(per_cam)(ims, cps, crs)
 
     return jax.vmap(per_world)(
         inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
