@@ -409,12 +409,22 @@ def trace_scene_blas(
 def render_views_blas(
     cfg, blas: BlasTables, inst_pos, inst_rot, inst_scale, inst_obj,
     inst_mask, cam_pos, cam_rot, materials=None, lights=None,
+    max_instances_per_view: int = 0,
 ):
     """BLAS-tier analogue of raycast.render_views ([W, ...] batches).
     ``inst_mask``: [W, I] shared or [W, V, I] per-view (ego cameras
     excluding their own body). ``lights``: render.lights.Lights with
     [W, L] tables (per-world slices feed the multi-light shading
-    loop)."""
+    loop).
+
+    ``max_instances_per_view`` > 0 runs the per-view frustum/top-K cull
+    (render/tlas.py::cull_view_topk) over instance world AABBs derived
+    from the BLAS root nodes BEFORE tracing, so the per-(instance, ray)
+    lane count is bounded by K instead of the scene instance count —
+    the reference's TLAS→BLAS two-level walk
+    (bvh_raycast.cpp:225-520) expressed as cull-then-trace. Exact while
+    ≤ K instances overlap a frustum; returns an extra [W, V] overlap
+    count for overflow detection (else overlap is None)."""
     from .raycast import camera_rays
 
     h, w = cfg.height, cfg.width
@@ -424,22 +434,51 @@ def render_views_blas(
             inst_mask[:, None, :],
             (inst_mask.shape[0], n_views, inst_mask.shape[1]),
         )
+    k = max_instances_per_view
 
-    def per_cam(ip, ir, isc, io, im, lt, cp, cr):
+    def per_cam(ip, ir, isc, io, im, lt, cp, cr, lo=None, hi=None):
         o, d = camera_rays(cfg, cp, cr)
+        n_overlap = None
+        if k > 0:
+            from .tlas import cull_view_topk
+
+            idx, ok, n_overlap = cull_view_topk(
+                lo, hi, im, cp, cr, k, cfg.fov_deg, w / h, cfg.t_max
+            )
+            oh = jax.nn.one_hot(idx, ip.shape[0], dtype=jnp.float32)
+            pick = lambda a: jnp.einsum(
+                "ki,i...->k...", oh, a.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            ip, ir, isc = pick(ip), pick(ir), pick(isc)
+            io = (pick(io.astype(jnp.float32)) + 0.5).astype(jnp.int32)
+            im = ok
         rgb, dep = trace_scene_blas(
             cfg, blas, ip, ir, isc, io, im,
             o.reshape(-1, 3), d.reshape(-1, 3), materials=materials,
             lights=lt,
         )
-        return rgb.reshape(h, w, 3), dep.reshape(h, w)
+        return rgb.reshape(h, w, 3), dep.reshape(h, w), n_overlap
 
-    per_world = jax.vmap(
-        lambda ip, ir, isc, io, ims, lt, cps, crs: jax.vmap(
-            lambda im, cp, cr: per_cam(ip, ir, isc, io, im, lt, cp, cr)
+    def per_world(ip, ir, isc, io, ims, lt, cps, crs):
+        lo = hi = None
+        if k > 0:
+            from .tlas import instance_world_aabbs
+
+            # object AABBs = BLAS root nodes (slot 0)
+            lo, hi = instance_world_aabbs(
+                blas.node_min[:, 0], blas.node_max[:, 0],
+                ip, ir, isc, io,
+            )
+        return jax.vmap(
+            lambda im, cp, cr: per_cam(ip, ir, isc, io, im, lt, cp, cr,
+                                       lo=lo, hi=hi)
         )(ims, cps, crs)
-    )
-    return per_world(
+
+    rgb, dep, overlap = jax.vmap(per_world)(
         inst_pos, inst_rot, inst_scale, inst_obj, inst_mask, lights,
         cam_pos, cam_rot,
     )
+    if k > 0:
+        return rgb, dep, overlap
+    return rgb, dep

@@ -126,12 +126,19 @@ class RenderingSystem:
                 self.lights_fn(state) if self.lights_fn is not None
                 else self.lights
             )
-            rgb, depth = render_views_blas(
+            out = render_views_blas(
                 self.cfg, self.blas, pos, rot, scale, inst_obj,
                 inst_mask, cam_pos, cam_rot,
                 materials=self.materials, lights=lights,
+                max_instances_per_view=self.tlas_max_instances,
             )
             singles = dict(state.singletons)
+            if self.tlas_max_instances > 0:
+                rgb, depth, overlap = out
+                if "TlasOverlap" in singles:
+                    singles["TlasOverlap"] = overlap.astype(jnp.int32)
+            else:
+                rgb, depth = out
             singles["RGBOut"] = rgb
             singles["DepthOut"] = depth
             return dataclasses.replace(state, singletons=singles)

@@ -218,3 +218,50 @@ def test_nonuniform_scale_and_rotation(sphere_bvh):
             np.testing.assert_allclose(
                 float(t_dev[i]), t_host, rtol=1e-4, atol=1e-5
             )
+
+
+def test_blas_cull_topk_exact_when_k_covers_overlap(sphere_bvh, terrain_bvh):
+    """max_instances_per_view=K >= frustum overlap: culled BLAS render
+    must equal the uncored render bit-for-bit, and the overlap export
+    must count the in-frustum instances (the cull-then-trace analogue of
+    the reference's TLAS->BLAS two-level walk)."""
+    sb, _, _ = sphere_bvh
+    tb, _, _ = terrain_bvh
+    blas = bake_blas([sb, tb], colors=[(0.9, 0.3, 0.2), (0.3, 0.7, 0.3)])
+    cfg = RenderConfig(width=16, height=16, fov_deg=90.0, t_max=50.0)
+    w = 2
+    inst_pos = jnp.asarray(
+        np.tile(
+            np.array(
+                [[0, 6, 1.5], [2.0, 8, 1.0], [0, 0, 0],
+                 [0, -30.0, 0]],                 # behind the camera
+                np.float32,
+            )[None],
+            (w, 1, 1),
+        )
+    )
+    ident = jnp.tile(
+        jnp.asarray([1.0, 0, 0, 0], jnp.float32)[None, None], (w, 4, 1)
+    )
+    inst_scale = jnp.ones((w, 4, 3), jnp.float32)
+    inst_obj = jnp.tile(jnp.asarray([0, 0, 1, 0], jnp.int32)[None], (w, 1))
+    inst_mask = jnp.ones((w, 4), bool)
+    cam_pos = jnp.tile(
+        jnp.asarray([0.0, -2.0, 2.0], jnp.float32)[None, None], (w, 1, 1)
+    )
+    cam_rot = jnp.tile(
+        jnp.asarray([1.0, 0, 0, 0], jnp.float32)[None, None], (w, 1, 1)
+    )
+    args = (inst_pos, ident, inst_scale, inst_obj, inst_mask,
+            cam_pos, cam_rot)
+    rgb0, dep0 = jax.jit(lambda *a: render_views_blas(cfg, blas, *a))(*args)
+    rgb1, dep1, overlap = jax.jit(
+        lambda *a: render_views_blas(cfg, blas, *a,
+                                     max_instances_per_view=4)
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(dep0), np.asarray(dep1))
+    np.testing.assert_array_equal(np.asarray(rgb0), np.asarray(rgb1))
+    ov = np.asarray(overlap)
+    assert ov.shape == (w, 1)
+    # the behind-the-camera sphere must be culled from the count
+    assert (ov <= 3).all() and (ov >= 1).all()
