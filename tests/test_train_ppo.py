@@ -57,3 +57,33 @@ def test_torch_reinforce_bridge():
     ep_len = ttr.main(["--worlds", "64", "--updates", "25",
                        "--horizon", "48"])
     assert ep_len > 40.0           # random policy is ~10-20
+
+
+def test_vision_ppo_hide_seek_update():
+    """One vision-PPO update on hide&seek pixels: the renderer's RGBD
+    feeds a bf16 conv policy inside a single jitted update (sim + render
+    + learner on device); params must move and stay finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from examples.train_ppo_pixels import VPPOConfig, make_train
+
+    cfg = VPPOConfig(horizon=4, epochs=1)
+    sim, update, state, obs, p = make_train(
+        2, cfg, seed=0, render_size=16
+    )
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, p)
+    m = zeros
+    v = jax.tree_util.tree_map(jnp.zeros_like, p)
+    out = update(state, obs, p, m, v, jnp.float32(0),
+                 jax.random.PRNGKey(1))
+    state2, obs2, p2, m2, v2, t2, rng2, mean_rew = out
+    assert np.isfinite(float(mean_rew))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p, p2
+    )
+    total = sum(jax.tree_util.tree_leaves(moved))
+    assert total > 0.0
+    for leaf in jax.tree_util.tree_leaves(p2):
+        assert np.isfinite(np.asarray(leaf)).all()
