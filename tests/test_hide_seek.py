@@ -331,3 +331,32 @@ def test_blas_render_tier_matches_dense_geometry():
     flat = rgb.reshape(2, hs.N_AGENTS, -1, 3)
     per_view_std = flat.std(axis=2).mean()
     assert per_view_std > 1e-3
+
+
+def test_pixels_64x64_design_point():
+    """The reference batch renderer's design point is 64x64 RGBD per
+    agent (SURVEY §2.4; reference render config defaults). Run it with
+    the production TLAS per-view cull: output shapes, finiteness,
+    determinism, and a real scene (every view sees geometry)."""
+    w = 2
+    sim = make_sim(
+        HideSeek(render_size=64, tlas_max_instances=8), num_worlds=w,
+        seed=11, donate=False,
+    )
+    step = sim.step_fn()
+    a = jnp.zeros((w, hs.N_AGENTS, 5), jnp.int32)
+    r = jnp.zeros((w,), jnp.int32)
+    _, o1 = step(sim.state, {"action": a, "reset": r})
+    _, o2 = step(sim.state, {"action": a, "reset": r})
+    rgb = np.asarray(o1["rgb"], np.float32)
+    dep = np.asarray(o1["depth"], np.float32)
+    assert rgb.shape == (w, hs.N_AGENTS, 64, 64, 3)
+    assert dep.shape == (w, hs.N_AGENTS, 64, 64)
+    assert np.isfinite(rgb).all() and np.isfinite(dep).all()
+    np.testing.assert_array_equal(rgb, np.asarray(o2["rgb"]))
+    # every agent camera is inside the arena: a real fraction of pixels
+    # hit geometry (the rest is sky above the arena walls)
+    t_max = HideSeek(render_size=64).rcfg.t_max
+    hit = dep < t_max - 1.0
+    assert hit.mean() > 0.4
+    assert hit.reshape(w * hs.N_AGENTS, -1).mean(axis=1).min() > 0.1
