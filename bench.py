@@ -54,6 +54,13 @@ def pick_flagship():
                      render_tier=tier),
             worlds or 1024, 100,
         )
+    if which == "pile":
+        # many-body stress point: 256 bodies/world through the swept
+        # broadphase tier (reference broadphase.cpp's regime)
+        from madrona_tpu.models.pile import Pile
+
+        nb = int(os.environ.get("MADRONA_TPU_BENCH_PILE_BODIES", "256"))
+        return f"pile{nb}", Pile(num_bodies=nb), worlds or 64, 100
     if which == "cartpole":
         from madrona_tpu.models.cartpole import Cartpole
 

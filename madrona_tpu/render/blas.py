@@ -57,6 +57,10 @@ class BlasTables:
     tri_mat: jnp.ndarray = None  # [O, T] i32 material slot (0 = default)
     max_leaf: int = 4
     num_objects: int = 0
+    # optional 4-wide collapse (Blas4Tables); when present the tracer
+    # walks it instead of the binary tree — same hits, ~half the
+    # while_loop trips. Attach with :func:`with_wide`.
+    wide: object = None
 
     @property
     def num_nodes(self) -> int:
@@ -151,6 +155,277 @@ def bake_assets_blas(assets, leaf_size: int = 4, tex_size: int = 64):
         assets.materials, assets.textures, tex_size=tex_size
     )
     return blas, mat_tables, list(range(len(assets.meshes)))
+
+
+@dataclasses.dataclass
+class Blas4Tables:
+    """4-wide collapse of :class:`BlasTables` — the TPU answer to the
+    reference's compressed wide BVH (``include/madrona/mesh_bvh.hpp``
+    nodes hold several children; the CUDA walker tests them together).
+    Halving tree depth halves the gather-bound ``while_loop`` trip
+    count, which is what the lockstep TPU walker pays for.
+
+    Child entry encoding (``c_entry``): >= 0 — index of the child wide
+    node; < 0 — leaf slot ``-(entry) - 1`` into ``leaf_first/count``.
+    Empty child slots carry +inf/-inf AABBs so the slab test never
+    hits them. ``c_min/c_max`` may be stored bfloat16 (conservatively
+    rounded outward at bake time — min down, max up — so quantization
+    can only admit extra node visits, never miss a hit); triangles and
+    the final intersection always run f32.
+    """
+
+    c_min: jnp.ndarray       # [O, N4, 4, 3] f32 or bf16
+    c_max: jnp.ndarray       # [O, N4, 4, 3]
+    c_entry: jnp.ndarray     # [O, N4, 4] i32
+    leaf_first: jnp.ndarray  # [O, L] i32
+    leaf_count: jnp.ndarray  # [O, L] i32
+    tri_v0: jnp.ndarray      # [O, T, 3] f32 (leaf order, shared layout)
+    tri_e1: jnp.ndarray
+    tri_e2: jnp.ndarray
+    max_leaf: int = 4
+
+
+def _bf16_outward(lo: np.ndarray, hi: np.ndarray):
+    """Round AABBs outward to bf16: lo down, hi up (one ulp when the
+    truncation moved the bound inward)."""
+    lo16 = lo.astype(np.float32).view(np.uint32) >> 16
+    lo_t = (lo16 << 16).view(np.float32).astype(np.float32)
+    lo_t = lo_t.reshape(lo.shape)
+    # truncation rounds toward zero: too high for negative... simplest
+    # robust fix: nudge one bf16 ulp outward wherever truncation landed
+    # strictly inside
+    def step_down(x):
+        b = x.view(np.uint32) >> 16
+        pos = x >= 0
+        b2 = np.where(pos, np.maximum(b, 1) - 1, b + 1)
+        return (b2.astype(np.uint32) << 16).view(np.float32)
+
+    def step_up(x):
+        b = x.view(np.uint32) >> 16
+        pos = x >= 0
+        b2 = np.where(pos, b + 1, np.maximum(b, 1) - 1)
+        return (b2.astype(np.uint32) << 16).view(np.float32)
+
+    lo_q = np.where(lo_t <= lo, lo_t, step_down(lo_t.copy()))
+    hi16 = hi.astype(np.float32).view(np.uint32) >> 16
+    hi_t = (hi16 << 16).view(np.float32).astype(np.float32)
+    hi_q = np.where(hi_t >= hi, hi_t, step_up(hi_t.copy()))
+    return lo_q.astype(np.float32), hi_q.astype(np.float32)
+
+
+def widen_blas(blas: BlasTables, aabb_dtype: str = "float32") -> Blas4Tables:
+    """Collapse each object's binary BVH into 4-wide nodes (host-side).
+
+    Each binary inner node's children become: the child itself if it is
+    a leaf, else its two children — up to 4 entries whose AABBs are the
+    binary nodes' own boxes. Triangle tables are shared with ``blas``
+    (same leaf order), so hits are bit-identical to the binary walker.
+    """
+    nm = np.asarray(blas.node_min)
+    nx = np.asarray(blas.node_max)
+    lf = np.asarray(blas.left)
+    rt = np.asarray(blas.right)
+    o = nm.shape[0]
+
+    all_cmin, all_cmax, all_centry = [], [], []
+    all_lfirst, all_lcount = [], []
+    for i in range(o):
+        leaves = []          # (first, count)
+        wide = []            # each: list of (min3, max3, entry)
+        wid_of = {}          # binary inner idx -> wide idx
+
+        def leaf_slot(b):
+            leaves.append((int(lf[i, b]), int(-rt[i, b])))
+            return -len(leaves)          # encodes -(slot)-1, slot=len-1
+
+        is_leaf = lambda b: rt[i, b] <= 0
+
+        if is_leaf(0):
+            wide.append([(nm[i, 0], nx[i, 0], leaf_slot(0))])
+        else:
+            wid_of[0] = 0
+            wide.append(None)
+            work = [0]
+            while work:
+                b = work.pop()
+                kids = []
+                for c in (int(lf[i, b]), int(rt[i, b])):
+                    if is_leaf(c):
+                        kids.append((nm[i, c], nx[i, c], leaf_slot(c)))
+                    else:
+                        for g in (int(lf[i, c]), int(rt[i, c])):
+                            if is_leaf(g):
+                                kids.append(
+                                    (nm[i, g], nx[i, g], leaf_slot(g))
+                                )
+                            else:
+                                if g not in wid_of:
+                                    wid_of[g] = len(wide)
+                                    wide.append(None)
+                                    work.append(g)
+                                kids.append((nm[i, g], nx[i, g], wid_of[g]))
+                wide[wid_of[b]] = kids
+        n4 = len(wide)
+        cmin = np.full((n4, 4, 3), np.inf, np.float32)
+        cmax = np.full((n4, 4, 3), -np.inf, np.float32)
+        cent = np.zeros((n4, 4), np.int32)
+        for w_, kids in enumerate(wide):
+            for s, (mn, mx, e) in enumerate(kids):
+                cmin[w_, s] = mn
+                cmax[w_, s] = mx
+                cent[w_, s] = e
+        all_cmin.append(cmin)
+        all_cmax.append(cmax)
+        all_centry.append(cent)
+        all_lfirst.append(np.asarray([a for a, _ in leaves], np.int32))
+        all_lcount.append(np.asarray([c for _, c in leaves], np.int32))
+
+    n4_max = max(a.shape[0] for a in all_cmin)
+    l_max = max(max(len(a), 1) for a in all_lfirst)
+    cmin = np.full((o, n4_max, 4, 3), np.inf, np.float32)
+    cmax = np.full((o, n4_max, 4, 3), -np.inf, np.float32)
+    cent = np.zeros((o, n4_max, 4), np.int32)
+    lfir = np.zeros((o, l_max), np.int32)
+    lcnt = np.zeros((o, l_max), np.int32)
+    for i in range(o):
+        n4, l_ = all_cmin[i].shape[0], len(all_lfirst[i])
+        cmin[i, :n4] = all_cmin[i]
+        cmax[i, :n4] = all_cmax[i]
+        cent[i, :n4] = all_centry[i]
+        lfir[i, :l_] = all_lfirst[i]
+        lcnt[i, :l_] = all_lcount[i]
+    if aabb_dtype == "bfloat16":
+        lo_q, hi_q = _bf16_outward(cmin, cmax)
+        cmin_j = jnp.asarray(lo_q, jnp.bfloat16)
+        cmax_j = jnp.asarray(hi_q, jnp.bfloat16)
+    else:
+        cmin_j = jnp.asarray(cmin)
+        cmax_j = jnp.asarray(cmax)
+    return Blas4Tables(
+        c_min=cmin_j, c_max=cmax_j, c_entry=jnp.asarray(cent),
+        leaf_first=jnp.asarray(lfir), leaf_count=jnp.asarray(lcnt),
+        tri_v0=blas.tri_v0, tri_e1=blas.tri_e1, tri_e2=blas.tri_e2,
+        max_leaf=blas.max_leaf,
+    )
+
+
+def with_wide(blas: BlasTables, aabb_dtype: str = "float32") -> BlasTables:
+    """Return ``blas`` with the 4-wide collapse attached (tracer then
+    walks the wide tree; hits are identical, tests/test_blas.py)."""
+    return dataclasses.replace(blas, wide=widen_blas(blas, aabb_dtype))
+
+
+def trace_rays_blas4(
+    blas4: Blas4Tables,
+    obj: jnp.ndarray,
+    o_l: jnp.ndarray,
+    d_l: jnp.ndarray,
+    live: jnp.ndarray,
+    t_max: float,
+    stack_size: int = 48,
+):
+    """4-wide walker; contract identical to :func:`trace_rays_blas`.
+
+    Stack entries: >= 1 — wide node index + 1; <= -1 — leaf slot
+    ``-e - 1``; the +1 bias keeps 0 free as the stack's empty filler.
+    """
+    b = obj.shape[0]
+    inv_d = jnp.where(jnp.abs(d_l) > 1e-12, 1.0 / d_l, jnp.float32(1e30))
+    stack = jnp.zeros((b, stack_size), jnp.int32)
+    # push the root (wide node 0 -> entry +1) on live lanes
+    stack = stack.at[:, 0].set(jnp.where(live, 1, 0))
+    sp = live.astype(jnp.int32)
+    best_t = jnp.full((b,), t_max, jnp.float32)
+    best_tri = jnp.full((b,), -1, jnp.int32)
+    best_u = jnp.zeros((b,), jnp.float32)
+    best_v = jnp.zeros((b,), jnp.float32)
+    lanes = jnp.arange(b)
+
+    def cond(c):
+        return jnp.any(c[1] > 0)
+
+    def body(c):
+        stack, sp, best_t, best_tri, best_u, best_v = c
+        active = sp > 0
+        e = stack[lanes, jnp.maximum(sp - 1, 0)]
+        sp = sp - active.astype(jnp.int32)
+        is_leaf = e < 0
+
+        # ---- leaf lanes: masked Moller-Trumbore over the leaf budget
+        slot = jnp.where(is_leaf, -e - 1, 0)
+        first = blas4.leaf_first[obj, slot]
+        count = jnp.where(is_leaf & active, blas4.leaf_count[obj, slot], 0)
+        for k in range(blas4.max_leaf):
+            ti = jnp.clip(first + k, 0, blas4.tri_v0.shape[1] - 1)
+            valid = k < count
+            v0 = blas4.tri_v0[obj, ti]
+            e1 = blas4.tri_e1[obj, ti]
+            e2 = blas4.tri_e2[obj, ti]
+            p = jnp.cross(d_l, e2)
+            det = jnp.sum(e1 * p, axis=-1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tv = o_l - v0
+            u = jnp.sum(tv * p, axis=-1) * inv_det
+            q = jnp.cross(tv, e1)
+            v = jnp.sum(d_l * q, axis=-1) * inv_det
+            t = jnp.sum(e2 * q, axis=-1) * inv_det
+            hit = (
+                valid & (jnp.abs(det) > 1e-12)
+                & (u >= 0) & (v >= 0) & (u + v <= 1)
+                & (t > 1e-3) & (t < best_t)
+            )
+            best_tri = jnp.where(hit, ti, best_tri)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+            best_t = jnp.where(hit, t, best_t)
+
+        # ---- inner lanes: test 4 children, push far-to-near
+        node = jnp.where(is_leaf | ~active, 0, e - 1)
+        cmin = blas4.c_min[obj, node].astype(jnp.float32)   # [B, 4, 3]
+        cmax = blas4.c_max[obj, node].astype(jnp.float32)
+        t0 = (cmin - o_l[:, None, :]) * inv_d[:, None, :]
+        t1 = (cmax - o_l[:, None, :]) * inv_d[:, None, :]
+        lo = jnp.max(jnp.minimum(t0, t1), axis=-1)          # [B, 4]
+        hi = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        enter = jnp.maximum(lo, 0.0)
+        # empty child slots carry inverted (inf, -inf) boxes; a negative
+        # inv_d flips the slab interval to (-inf, inf), so mask them
+        # explicitly rather than relying on the interval test
+        cvalid = jnp.all(cmax >= cmin, axis=-1)             # [B, 4]
+        chit = cvalid & (hi >= enter) & (enter <= best_t[:, None])
+        chit = chit & (~is_leaf & active)[:, None]
+        ent = blas4.c_entry[obj, node]                      # [B, 4]
+        # stack encoding: inner e>=0 -> e+1 ; leaf e<0 stays
+        enc = jnp.where(ent >= 0, ent + 1, ent)
+        # sort the 4 children by enter distance (miss -> +inf) with a
+        # 5-comparator network, then push in DESCENDING order so the
+        # nearest child pops first
+        dist = jnp.where(chit, enter, jnp.float32(jnp.inf))
+
+        def cswap(d, en, hh, i, j):
+            swap = d[:, i] > d[:, j]
+            pick = lambda a: (
+                a.at[:, i].set(jnp.where(swap, a[:, j], a[:, i]))
+                .at[:, j].set(jnp.where(swap, a[:, i], a[:, j]))
+            )
+            return pick(d), pick(en), pick(hh)
+
+        d_, en_, h_ = dist, enc, chit
+        for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            d_, en_, h_ = cswap(d_, en_, h_, i, j)
+        for s in (3, 2, 1, 0):                 # farthest pushed first
+            do = h_[:, s] & (sp < stack_size)
+            pos = jnp.minimum(sp, stack_size - 1)
+            stack = stack.at[lanes, pos].set(
+                jnp.where(do, en_[:, s], stack[lanes, pos])
+            )
+            sp = sp + do.astype(jnp.int32)
+        return stack, sp, best_t, best_tri, best_u, best_v
+
+    _, _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
+        cond, body, (stack, sp, best_t, best_tri, best_u, best_v)
+    )
+    return best_t, best_tri, best_u, best_v
 
 
 def _slab(nmin, nmax, o, inv_d, t_best):
@@ -290,9 +565,14 @@ def _trace_nearest(cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj,
     flat = lambda a: a.reshape((i_n * r_n,) + a.shape[2:])
     obj = jnp.repeat(inst_obj, r_n)
     live = jnp.repeat(inst_mask, r_n)
-    t, tri, u, v = trace_rays_blas(
-        blas, obj, flat(o_l), flat(d_l), live, t_max
-    )
+    if blas.wide is not None:
+        t, tri, u, v = trace_rays_blas4(
+            blas.wide, obj, flat(o_l), flat(d_l), live, t_max
+        )
+    else:
+        t, tri, u, v = trace_rays_blas(
+            blas, obj, flat(o_l), flat(d_l), live, t_max
+        )
     t = t.reshape(i_n, r_n)
     tri = tri.reshape(i_n, r_n)
     u = u.reshape(i_n, r_n)

@@ -51,6 +51,19 @@ class RenderingSystem:
     ):
         self.mesh = mesh
         self.cfg = cfg
+        # MADRONA_TPU_BLAS_WIDE=1|bf16 attaches the 4-wide collapse to
+        # any BLAS tier centrally (bench/tuning knob; hits identical)
+        import os as _os
+
+        wide_env = _os.environ.get("MADRONA_TPU_BLAS_WIDE", "")
+        if blas is not None and wide_env and getattr(blas, "wide", None) is None:
+            from .blas import with_wide
+
+            blas = with_wide(
+                blas,
+                aabb_dtype=("bfloat16" if wide_env in ("bf16", "bfloat16")
+                            else "float32"),
+            )
         self.blas = blas
         self.materials = materials
         self.lights = lights

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Run the whole benchmark matrix as sequential bench.py subprocesses.
+
+One row per configuration worth tracking round-over-round; each row is a
+fresh interpreter so compile caches persist (enable_compile_cache) but
+device state does not leak between configs. Prints a markdown table and
+writes the raw JSON lines to ``bench_matrix.json``.
+
+Usage:  python scripts/bench_matrix.py [--only substr] [--quick]
+        (run on the TPU host; never concurrently with CPU pytest jobs —
+        tunnel dispatch starvation reads ~3x low, see ROADMAP.md)
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (label, env-overrides). Rows ordered cheap-first so a flaky tunnel
+# still yields the headline numbers early.
+MATRIX = [
+    ("escape_room split", {}),
+    ("escape_room fused", {"MADRONA_TPU_MEGAKERNEL_FUSED": "1"}),
+    ("escape_room fused chunk8", {
+        "MADRONA_TPU_MEGAKERNEL_FUSED": "1",
+        "MADRONA_TPU_BENCH_CHUNK": "8",
+    }),
+    ("escape_room split chunk8", {"MADRONA_TPU_BENCH_CHUNK": "8"}),
+    ("hide_seek 16k", {"MADRONA_TPU_BENCH_ENV": "hide_seek"}),
+    ("hide_seek 16k fused", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek",
+        "MADRONA_TPU_MEGAKERNEL_FUSED": "1",
+    }),
+    ("pile 256-body", {"MADRONA_TPU_BENCH_ENV": "pile"}),
+    ("hs_pixels 16 cullK8", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
+        "MADRONA_TPU_BENCH_TLAS_K": "8",
+    }),
+    ("hs_pixels 64 cullK8", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
+        "MADRONA_TPU_BENCH_TLAS_K": "8",
+        "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
+        "MADRONA_TPU_BENCH_WORLDS": "256",
+    }),
+    ("hs_pixels 64 blas", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
+        "MADRONA_TPU_BENCH_RENDER_TIER": "blas",
+        "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
+        "MADRONA_TPU_BENCH_WORLDS": "256",
+    }),
+]
+
+QUICK = {"escape_room split", "escape_room fused", "hide_seek 16k fused"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="run rows whose label contains this substring")
+    ap.add_argument("--quick", action="store_true",
+                    help="headline rows only")
+    ap.add_argument("--timeout", type=int, default=1800)
+    args = ap.parse_args()
+
+    rows = []
+    for label, extra in MATRIX:
+        if args.only and args.only not in label:
+            continue
+        if args.quick and label not in QUICK:
+            continue
+        env = dict(os.environ)
+        env.update(extra)
+        env.setdefault("PYTHONPATH", REPO)
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True,
+                timeout=args.timeout, cwd=REPO,
+            )
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")]
+            rec = json.loads(line[-1]) if line else {
+                "error": (out.stderr or out.stdout)[-500:]}
+        except subprocess.TimeoutExpired:
+            rec = {"error": f"timeout {args.timeout}s"}
+        rec["label"] = label
+        rec["wall_s"] = round(time.time() - t0, 1)
+        rows.append(rec)
+        val = rec.get("value", rec.get("error", "?"))
+        print(f"  {label:28s} -> {val}", flush=True)
+
+    with open(os.path.join(REPO, "bench_matrix.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    print("\n| config | env-steps/s | vs 1M target | wall s |")
+    print("|---|---|---|---|")
+    for r in rows:
+        if "value" in r:
+            print(f"| {r['label']} | {r['value']:,.0f} | "
+                  f"{r.get('vs_baseline', 0):.3f} | {r['wall_s']} |")
+        else:
+            print(f"| {r['label']} | ERROR: {r['error'][:80]} | | "
+                  f"{r['wall_s']} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -265,3 +265,92 @@ def test_blas_cull_topk_exact_when_k_covers_overlap(sphere_bvh, terrain_bvh):
     assert ov.shape == (w, 1)
     # the behind-the-camera sphere must be culled from the count
     assert (ov <= 3).all() and (ov >= 1).all()
+
+
+def test_wide4_walker_matches_binary(sphere_bvh, terrain_bvh):
+    """The 4-wide collapsed walker (f32 AND conservatively-quantized
+    bf16 AABBs) returns the same nearest hits as the binary walker —
+    triangles/leaf order are shared, so t/tri/u/v must agree to f32
+    tie-breaking."""
+    from madrona_tpu.render.blas import trace_rays_blas4, widen_blas
+
+    for bvh, _, _ in (sphere_bvh, terrain_bvh):
+        blas = bake_blas([bvh, bvh])      # two objects: exercise obj axis
+        o, d = _random_rays(512, seed=3)
+        obj = jnp.asarray(np.arange(512) % 2, jnp.int32)
+        oo, dd = jnp.asarray(o), jnp.asarray(d)
+        liv = jnp.ones((512,), bool)
+        t_b, tri_b, u_b, v_b = jax.jit(
+            lambda a, b: trace_rays_blas(blas, obj, a, b, liv, 100.0)
+        )(oo, dd)
+        for aabb_dtype in ("float32", "bfloat16"):
+            w4 = widen_blas(blas, aabb_dtype=aabb_dtype)
+            t_w, tri_w, u_w, v_w = jax.jit(
+                lambda a, b: trace_rays_blas4(w4, obj, a, b, liv, 100.0)
+            )(oo, dd)
+            hit_b = np.asarray(tri_b) >= 0
+            hit_w = np.asarray(tri_w) >= 0
+            np.testing.assert_array_equal(hit_b, hit_w)
+            np.testing.assert_allclose(
+                np.asarray(t_w)[hit_b], np.asarray(t_b)[hit_b],
+                rtol=1e-5, atol=1e-6,
+            )
+            # same triangle except coplanar equal-t ties
+            same = np.asarray(tri_w) == np.asarray(tri_b)
+            close = np.abs(np.asarray(t_w) - np.asarray(t_b)) < 1e-4
+            assert (same | close)[hit_b].all()
+
+    # dead lanes stay missed
+    w4 = widen_blas(bake_blas([sphere_bvh[0]]))
+    t_w, tri_w, _, _ = trace_rays_blas4(
+        w4, jnp.zeros((8,), jnp.int32),
+        jnp.zeros((8, 3)), jnp.ones((8, 3)),
+        jnp.zeros((8,), bool), 100.0,
+    )
+    assert (np.asarray(tri_w) == -1).all()
+    assert (np.asarray(t_w) == 100.0).all()
+
+
+def test_wide4_single_leaf_object():
+    """Degenerate tree: an object small enough to be one leaf."""
+    from madrona_tpu.render.blas import trace_rays_blas4, widen_blas
+
+    v = np.asarray([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    t = np.asarray([[0, 1, 2]], np.int32)
+    blas = bake_blas([build_mesh_bvh(v, t)])
+    w4 = widen_blas(blas)
+    o = jnp.asarray([[0.0, 0.0, 5.0], [3.0, 3.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    tt, tri, _, _ = trace_rays_blas4(
+        w4, jnp.zeros((2,), jnp.int32), o, d,
+        jnp.ones((2,), bool), 100.0,
+    )
+    assert int(np.asarray(tri)[0]) == 0
+    np.testing.assert_allclose(float(np.asarray(tt)[0]), 5.0, rtol=1e-5)
+    assert int(np.asarray(tri)[1]) == -1
+
+
+def test_wide4_plumbing_through_scene(sphere_bvh, terrain_bvh):
+    """with_wide() through trace_scene_blas: pixel output identical to
+    the binary walk (shading consumes the same hit records)."""
+    from madrona_tpu.render.blas import trace_scene_blas, with_wide
+
+    blas = bake_blas([sphere_bvh[0], terrain_bvh[0]],
+                     colors=[(0.8, 0.2, 0.2), (0.2, 0.8, 0.2)])
+    cfg = RenderConfig(width=8, height=8, t_max=100.0)
+    inst_pos = jnp.asarray([[0.0, 0, 1.5], [0, 0, 0]], jnp.float32)
+    inst_rot = jnp.asarray([[1.0, 0, 0, 0]] * 2, jnp.float32)
+    inst_scale = jnp.ones((2, 3), jnp.float32)
+    inst_obj = jnp.asarray([0, 1], jnp.int32)
+    inst_mask = jnp.ones((2,), bool)
+    o, d = _random_rays(128, seed=9, r0=6.0)
+    args = (inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+            jnp.asarray(o), jnp.asarray(d))
+    rgb_b, dep_b = jax.jit(
+        lambda *a: trace_scene_blas(cfg, blas, *a))(*args)
+    rgb_w, dep_w = jax.jit(
+        lambda *a: trace_scene_blas(cfg, with_wide(blas), *a))(*args)
+    np.testing.assert_allclose(np.asarray(dep_w), np.asarray(dep_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb_w), np.asarray(rgb_b),
+                               rtol=1e-4, atol=1e-5)
