@@ -52,9 +52,37 @@ MATRIX = [
         "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
         "MADRONA_TPU_BENCH_WORLDS": "256",
     }),
+    ("hs_pixels 64 blas wide", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
+        "MADRONA_TPU_BENCH_RENDER_TIER": "blas",
+        "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
+        "MADRONA_TPU_BENCH_WORLDS": "256",
+        "MADRONA_TPU_BLAS_WIDE": "1",
+    }),
+    ("hs_pixels 64 blas wide-bf16", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
+        "MADRONA_TPU_BENCH_RENDER_TIER": "blas",
+        "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
+        "MADRONA_TPU_BENCH_WORLDS": "256",
+        "MADRONA_TPU_BLAS_WIDE": "bf16",
+    }),
 ]
 
+# escape-room tuning sweeps (--sweep): VMEM pair-chunk knob +
+# world-count scaling at the fused config
+for _pc in (2, 3, 4):
+    MATRIX.append((f"escape_room fused pc{_pc}", {
+        "MADRONA_TPU_MEGAKERNEL_FUSED": "1",
+        "MADRONA_TPU_FUSED_PAIR_CHUNK": str(_pc),
+    }))
+for _w in (2048, 4096):
+    MATRIX.append((f"escape_room fused w{_w}", {
+        "MADRONA_TPU_MEGAKERNEL_FUSED": "1",
+        "MADRONA_TPU_BENCH_WORLDS": str(_w),
+    }))
+
 QUICK = {"escape_room split", "escape_room fused", "hide_seek 16k fused"}
+SWEEP_PREFIXES = ("escape_room fused pc", "escape_room fused w")
 
 
 def main():
@@ -63,6 +91,8 @@ def main():
                     help="run rows whose label contains this substring")
     ap.add_argument("--quick", action="store_true",
                     help="headline rows only")
+    ap.add_argument("--sweep", action="store_true",
+                    help="include the tuning sweeps (pair-chunk, worlds)")
     ap.add_argument("--timeout", type=int, default=1800)
     args = ap.parse_args()
 
@@ -71,6 +101,9 @@ def main():
         if args.only and args.only not in label:
             continue
         if args.quick and label not in QUICK:
+            continue
+        if (not args.sweep and not args.only
+                and label.startswith(SWEEP_PREFIXES)):
             continue
         env = dict(os.environ)
         env.update(extra)
