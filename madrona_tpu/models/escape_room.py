@@ -38,8 +38,7 @@ from ..physics import api as papi
 from ..physics import bodies, broadphase as bp
 from ..physics import joints as jt
 from ..physics.xpbd import PhysicsConfig
-from ..render import MeshRegistry, RenderConfig
-from ..render.raycast import _trace_rays
+from ..render.raycast import trace_rays_obb
 from ..utils import math3d as m3
 from ..utils import rng as _rng
 from .base import EnvBase
@@ -158,19 +157,15 @@ class EscapeRoom(EnvBase):
         # hull-plane candidates; 12 gives 4x headroom (overflow drops
         # contacts for a step — soft failure)
         self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=8, sphere_any=1)
-        # lidar scene: walls/doors/cubes/partner as unit-box meshes scaled
+        # lidar scene: walls/doors/cubes/partner as oriented boxes scaled
         # by the body Scale column (rows 1..N-1; the floor plane is not a
-        # lidar target, matching the reference's horizontal ring)
-        mreg = MeshRegistry()
-        self._lidar_box = mreg.add_box([1.0, 1.0, 1.0])
-        self._lidar_mesh = mreg.build()
-        # bf16 tracer: the lidar is ~0.2 ms of the 2.5 ms step and the
-        # [I, T, R] test tensors are bandwidth-bound; ~0.5% depth error
-        # is immaterial for a distance observation (same tier the
-        # hide&seek pixel renderer uses)
-        self._lidar_cfg = RenderConfig(
-            t_max=HALL_LEN * 2.0, dtype="bfloat16"
-        )
+        # lidar target, matching the reference's horizontal ring). The
+        # trace is the exact ray-OBB slab test (render/raycast.py::
+        # trace_rays_obb) — every lidar target is a box, so the 12-tri
+        # Möller–Trumbore sweep collapses to one slab test per
+        # (box, ray); equivalence vs the mesh tracer is pinned by
+        # tests/test_render.py::test_obb_lidar_matches_box_mesh.
+        self._lidar_tmax = HALL_LEN * 2.0
 
     @staticmethod
     def random_actions(rs, steps, num_worlds):
@@ -684,14 +679,13 @@ class EscapeRoom(EnvBase):
         )
 
         # lidar: 30-ray horizontal ring per agent against all solid
-        # bodies (walls/doors/cubes/agents as scaled unit boxes; open
+        # bodies (walls/doors/cubes/agents as scaled oriented boxes; open
         # doors sit below the ring so rays pass through) — the
-        # reference env's lidarSystem, via the batch raycaster
+        # reference env's lidarSystem, via the exact ray-OBB slab test
         lidar_rows = jnp.arange(1, N_BODIES)      # skip the floor plane
         inst_pos = pos[:, lidar_rows]
         inst_rot = rotq[:, lidar_rows]
         inst_scale = t.columns["Scale"][:, lidar_rows]
-        inst_obj = jnp.zeros((w, N_BODIES - 1), jnp.int32) + self._lidar_box
         # cubes/agents are unit boxes scaled by Scale==1; use their true
         # half extents
         half = jnp.asarray(
@@ -712,18 +706,17 @@ class EscapeRoom(EnvBase):
         origins = jnp.broadcast_to(
             a_pos[:, :, None, :], (w, N_AGENTS, LIDAR_RAYS, 3)
         ).reshape(w, -1, 3)
-        def per_world(ip, ir, isc, io, origins_w, dirs_w):
-            _, depth = _trace_rays(
-                self._lidar_cfg, self._lidar_mesh, ip, ir, isc, io,
-                jnp.ones((N_BODIES - 1,), bool), origins_w, dirs_w,
+        def per_world(ip, ir, isc, origins_w, dirs_w):
+            return trace_rays_obb(
+                ip, ir, isc, jnp.ones((N_BODIES - 1,), bool),
+                origins_w, dirs_w, self._lidar_tmax,
             )
-            return depth
 
         # self-hits are excluded by nudging ray origins to the agent's
         # surface along the ray (agent half extent ~0.4-0.8)
         origins = origins + dirs * 0.85
         depth = jax.vmap(per_world)(
-            inst_pos, inst_rot, inst_scale, inst_obj, origins, dirs
+            inst_pos, inst_rot, inst_scale, origins, dirs
         ).reshape(w, N_AGENTS, LIDAR_RAYS)
         lidar = jnp.minimum(depth / HALL_LEN, 1.0)
 

@@ -172,6 +172,42 @@ def _trace_rays(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
     return rgb, depth
 
 
+def trace_rays_obb(inst_pos, inst_rot, inst_half, inst_mask,
+                   origins, dirs, t_max):
+    """Nearest-hit distances against oriented boxes via the exact slab
+    test — the lidar fast path (reference lidarSystem traces the scene
+    BVH; the example envs' lidar targets are all boxes, so the 12-tri
+    Möller–Trumbore sweep collapses to one slab test per (box, ray)).
+
+    Semantics match tracing the box's triangle mesh: rays starting
+    inside a box hit its exit face (t = slab max), otherwise the enter
+    face (t = slab min); hits require t > 1e-3. All f32.
+
+    inst_pos/inst_rot/inst_half: [I, ...] box centers / world-from-local
+    quats / half extents; inst_mask [I]; origins/dirs [R, 3] (dirs need
+    not be unit — t is in units of |dir|). Returns depth [R] (t_max on
+    miss).
+    """
+    inv_q = m3.quat_inv(inst_rot)                               # [I, 4]
+    half = jnp.maximum(inst_half, 1e-12)
+    o_l = m3.quat_rotate(
+        inv_q[:, None, :], origins[None, :, :] - inst_pos[:, None, :]
+    ) / half[:, None, :]                                        # [I, R, 3]
+    d_l = m3.quat_rotate(inv_q[:, None, :], dirs[None, :, :]) / (
+        half[:, None, :]
+    )
+    inv_d = jnp.where(jnp.abs(d_l) > 1e-12, 1.0 / d_l, 1e30)
+    t0 = (-1.0 - o_l) * inv_d
+    t1 = (1.0 - o_l) * inv_d
+    lo = jnp.max(jnp.minimum(t0, t1), axis=-1)                  # [I, R]
+    hi = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t = jnp.where(lo > 1e-3, lo, hi)        # inside-the-box -> exit face
+    hit = (hi >= jnp.maximum(lo, 0.0)) & (t > 1e-3) & (t < t_max)
+    hit = hit & inst_mask[:, None]
+    depth = jnp.where(hit, t, jnp.float32(t_max))
+    return jnp.min(depth, axis=0)
+
+
 def render_views(cfg: RenderConfig, mesh: MeshTables, inst_pos, inst_rot,
                  inst_scale, inst_obj, inst_mask, cam_pos, cam_rot):
     """Render all camera views of all worlds.

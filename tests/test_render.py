@@ -76,3 +76,50 @@ def test_instance_transforms_apply():
         jnp.zeros((1, 1), bool), cam_pos, cam_rot,
     )
     assert float(depth2[0, 0, 14, 8]) == cfg.t_max
+
+
+def test_obb_lidar_matches_box_mesh():
+    """trace_rays_obb == tracing the box's 12-triangle mesh (f32): same
+    enter-face hits, same exit-face behavior for inside-the-box rays."""
+    import numpy as np
+
+    from madrona_tpu.render import MeshRegistry
+    from madrona_tpu.render.raycast import (
+        RenderConfig, _trace_rays, trace_rays_obb,
+    )
+    from madrona_tpu.utils import math3d as m3
+
+    rs = np.random.RandomState(5)
+    n_i, n_r = 12, 256
+    pos = jnp.asarray(rs.uniform(-6, 6, (n_i, 3)), jnp.float32)
+    ax = rs.normal(size=(n_i, 3))
+    ax /= np.linalg.norm(ax, axis=-1, keepdims=True)
+    th = rs.uniform(0, np.pi, (n_i, 1))
+    rot = jnp.asarray(
+        np.concatenate([np.cos(th / 2), np.sin(th / 2) * ax], -1),
+        jnp.float32,
+    )
+    half = jnp.asarray(rs.uniform(0.3, 2.0, (n_i, 3)), jnp.float32)
+    mask = jnp.asarray(rs.rand(n_i) > 0.2)
+
+    o = jnp.asarray(rs.uniform(-8, 8, (n_r, 3)), jnp.float32)
+    d = rs.normal(size=(n_r, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                    jnp.float32)
+    t_max = 50.0
+
+    depth_obb = np.asarray(trace_rays_obb(pos, rot, half, mask, o, d,
+                                          t_max))
+
+    mreg = MeshRegistry()
+    mreg.add_box([1.0, 1.0, 1.0])
+    mesh = mreg.build()
+    cfg = RenderConfig(t_max=t_max, dtype="float32")
+    _, depth_mesh = _trace_rays(
+        cfg, mesh, pos, rot, half, jnp.zeros((n_i,), jnp.int32), mask,
+        o, d,
+    )
+    depth_mesh = np.asarray(depth_mesh)
+    # some rays start inside a box (exit-face semantics on both paths)
+    np.testing.assert_allclose(depth_obb, depth_mesh, rtol=1e-4,
+                               atol=1e-3)
