@@ -149,7 +149,8 @@ class WebViewer:
                  key_to_inputs: Optional[Callable] = None,
                  world: int = 0, fps: float = 20.0,
                  body_mask=None,
-                 rgb_key: str = "rgb", depth_key: str = "depth"):
+                 rgb_key: str = "rgb", depth_key: str = "depth",
+                 blas=None, materials=None):
         import jax
         import jax.numpy as jnp
 
@@ -203,13 +204,28 @@ class WebViewer:
         robj = jnp.asarray(self._render_obj)
         bmask = jnp.asarray(self._body_mask)
 
-        def frame(pos, rot, scale, cam_pos, cam_rot):
-            o, d = camera_rays(cfg, cam_pos, cam_rot)
-            rgb, _ = _trace_rays(
-                cfg, mesh, pos, rot, scale, robj, bmask,
-                o.reshape(-1, 3), d.reshape(-1, 3),
-            )
-            return rgb.reshape(height, width, 3)
+        if blas is not None:
+            # BLAS flycam: imported meshes of real polycount with
+            # materials/textures (the reference viewer renders the same
+            # scene assets the batch renderer traces)
+            from ..render.blas import trace_scene_blas
+
+            def frame(pos, rot, scale, cam_pos, cam_rot):
+                o, d = camera_rays(cfg, cam_pos, cam_rot)
+                rgb, _ = trace_scene_blas(
+                    cfg, blas, pos, rot, scale, robj, bmask,
+                    o.reshape(-1, 3), d.reshape(-1, 3),
+                    materials=materials,
+                )
+                return rgb.reshape(height, width, 3)
+        else:
+            def frame(pos, rot, scale, cam_pos, cam_rot):
+                o, d = camera_rays(cfg, cam_pos, cam_rot)
+                rgb, _ = _trace_rays(
+                    cfg, mesh, pos, rot, scale, robj, bmask,
+                    o.reshape(-1, 3), d.reshape(-1, 3),
+                )
+                return rgb.reshape(height, width, 3)
 
         self._frame = jax.jit(frame)
         self._jnp = jnp

@@ -171,3 +171,54 @@ def test_tick_advances_physics(viewer):
         v.sim.state.tables["RigidBody"].columns["Position"]
     )[0, 1, 2]
     assert z1 < z0        # the box is falling
+
+
+def test_blas_tier_flycam_frame(viewer):
+    """WebViewer(blas=...) renders the flycam through the device
+    mesh-BVH walker (imported-asset scenes in the interactive viewer)."""
+    import jax.numpy as jnp
+
+    from madrona_tpu.assets.bvh import build_mesh_bvh
+    from madrona_tpu.render.blas import bake_blas
+    from madrona_tpu.viz import WebViewer
+
+    v_mesh, _ = viewer
+    sim = v_mesh.sim
+
+    def box_mesh(h):
+        c = np.asarray([
+            [-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+            [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h],
+        ], np.float32)
+        f = np.asarray([
+            [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+            [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+            [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7],
+        ], np.int32)
+        return c, f
+
+    vq, fq = box_mesh(20.0)
+    vb, fb = box_mesh(0.5)
+    blas = bake_blas(
+        [build_mesh_bvh(vq, fq), build_mesh_bvh(vb, fb)],
+        colors=[(0.2, 0.7, 0.2), (0.8, 0.2, 0.2)],
+    )
+    v = WebViewer(
+        sim, None, [0, 1, 1, 1], width=48, height=32,
+        inputs_fn=lambda: {}, blas=blas,
+    )
+    v.paused = True
+    png = v.frame_png()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 100
+    # scene visible: the frame is not a constant sky
+    img = np.asarray(
+        v._frame(
+            sim.state.tables["RigidBody"].columns["Position"][0],
+            sim.state.tables["RigidBody"].columns["Rotation"][0],
+            sim.state.tables["RigidBody"].columns["Scale"][0],
+            jnp.asarray(v.cam_pos, jnp.float32),
+            jnp.asarray(v._cam_quat(), jnp.float32),
+        )
+    )
+    assert np.isfinite(img).all()
+    assert img.reshape(-1, 3).std(axis=0).max() > 1e-3
