@@ -69,6 +69,78 @@ def register_types(reg: ECSRegistry, max_bodies: int):
     )
 
 
+COLLISION_EVENTS = "CollisionEvents"
+
+
+def register_collision_events(reg: ECSRegistry, max_events: int = 16):
+    """Register the per-world collision-event buffer.
+
+    The reference declares ``CollisionEvent { Entity a, b; }`` and
+    registers its temporary archetype (``include/madrona/physics.hpp:
+    95-100``, ``src/physics/physics.cpp:319-320``) but never populates
+    it; here the buffer is filled every step from the narrowphase
+    contacts (active pairs, compacted deterministically in contact-
+    buffer order). ``a``/``b`` are Entity handles ([K, 2] gen|id;
+    Entity.none for rows not allocated through the entity store),
+    ``row_a``/``row_b`` the body table rows, ``num`` the event count
+    (clamped to ``max_events``; ``overflow`` flags clamping).
+
+    Requires ``PhysicsConfig.narrowphase_once=True`` (contacts are
+    computed once per step) and a non-fused kernel tier — with
+    ``megakernel_fused`` the contacts never leave VMEM.
+    """
+    k = max_events
+    reg.register_singleton(COLLISION_EVENTS, fields={
+        "a": ((k, 2), jnp.int32), "b": ((k, 2), jnp.int32),
+        "row_a": ((k,), jnp.int32), "row_b": ((k,), jnp.int32),
+        "num": ((), jnp.int32), "overflow": ((), jnp.int32),
+    })
+
+
+def _write_collision_events(sm_: StateManager, state: SimState,
+                            contacts: Contacts) -> SimState:
+    """Compact active contact pairs into the CollisionEvents singleton."""
+    from ..ops import scatter as _scatter
+
+    buf = state.singletons[COLLISION_EVENTS]
+    k = buf["row_a"].shape[1]
+    w, c = contacts.num.shape
+    t = state.tables[RIGID_BODY]
+    n_rows = t.columns["Position"].shape[1]
+
+    valid = contacts.num > 0
+    vi = valid.astype(jnp.int32)
+    rank = jnp.cumsum(vi, axis=1) - vi                    # [W, C]
+    total = jnp.sum(vi, axis=1)                           # [W]
+    ok = valid & (rank < k)
+    widx = jnp.broadcast_to(jnp.arange(w)[:, None], (w, c))
+
+    ref = jnp.clip(contacts.ref, 0, n_rows - 1)
+    alt = jnp.clip(contacts.alt, 0, n_rows - 1)
+
+    def handles(rows):
+        if t.entity_id.shape[1] == 0:         # no_entities archetype
+            return jnp.full((w, c, 2), -1, jnp.int32)
+        rows_c = jnp.clip(rows, 0, t.entity_id.shape[1] - 1)
+        gen = jnp.take_along_axis(t.entity_gen, rows_c, axis=1)
+        eid = jnp.take_along_axis(t.entity_id, rows_c, axis=1)
+        return jnp.stack([gen, eid], axis=-1)             # [W, C, 2]
+
+    empty2 = jnp.full((w, k, 2), -1, jnp.int32)
+    empty1 = jnp.full((w, k), -1, jnp.int32)
+    new = {
+        "a": _scatter.masked_set_2d(empty2, widx, rank, handles(ref), ok),
+        "b": _scatter.masked_set_2d(empty2, widx, rank, handles(alt), ok),
+        "row_a": _scatter.masked_set_2d(empty1, widx, rank, ref, ok),
+        "row_b": _scatter.masked_set_2d(empty1, widx, rank, alt, ok),
+        "num": jnp.minimum(total, k),
+        "overflow": (total > k).astype(jnp.int32),
+    }
+    singles = dict(state.singletons)
+    singles[COLLISION_EVENTS] = new
+    return dataclasses.replace(state, singletons=singles)
+
+
 def register_joint_types(reg: ECSRegistry, max_joints: int):
     """Register the per-world joint buffer (reference: the JointConstraint
     archetype created by PhysicsSystem::registerTypes,
@@ -526,6 +598,18 @@ def make_physics_node(
         has_joints = JOINT_BUFFER in sm_.singletons
         jbuf = joints_view(state) if has_joints else None
 
+        want_events = COLLISION_EVENTS in sm_.singletons
+        if want_events and (
+            cfg.megakernel_fused or not cfg.narrowphase_once
+            or cfg.solver == "tgs"
+        ):
+            raise ValueError(
+                "CollisionEvents export requires narrowphase_once=True "
+                "with a non-fused tier (solver='jacobi'/'gauss_seidel', "
+                "megakernel_fused=False): contacts must be computed "
+                "once per step outside the fused kernel"
+            )
+
         if cfg.solver == "tgs":
             from . import tgs as _tgs
 
@@ -572,6 +656,10 @@ def make_physics_node(
             frozen_contacts = narrow(
                 xpbd.integrate(body, om, h, gravity), cands
             )
+            if want_events:
+                state = _write_collision_events(
+                    sm_, state, frozen_contacts
+                )
 
         if cfg.megakernel:
             if not (jacobi and cfg.narrowphase_once):
