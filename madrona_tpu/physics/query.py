@@ -31,6 +31,28 @@ from . import geo
 BIG = 3.0e38
 
 
+def aabb_overlap_bodies(body, om, q_lo, q_hi, active=None):
+    """Bodies whose world AABB intersects each query AABB.
+
+    The broadphase tree's overlap query (``broadphase.cpp:930-1027``
+    ``findIntersectingEntry`` — apps use it for trigger volumes /
+    region queries) as a dense masked test over (query, body) lanes.
+
+    q_lo/q_hi: [W, Q, 3]. Returns mask [W, Q, N] bool (dead body rows
+    are False).
+    """
+    from . import broadphase as bp
+
+    act = body.active if active is None else active
+    lo, hi = bp.world_aabbs(body, om, expansion_dt=0.0)    # [W, N, 3]
+    sep = jnp.any(
+        (q_hi[:, :, None, :] < lo[:, None, :, :])
+        | (q_lo[:, :, None, :] > hi[:, None, :, :]),
+        axis=-1,
+    )                                                      # [W, Q, N]
+    return ~sep & act[:, None, :]
+
+
 def raycast_bodies(body, om, origins, dirs, t_max,
                    exclude_row=None, active=None):
     """Nearest body hit per ray.

@@ -126,3 +126,31 @@ def test_exclude_row_and_inactive():
                     active=np.asarray([[False, False]]))
     t3, row3 = query.raycast_bodies(body3, om, o, d, 50.0)
     assert float(t3[0, 0]) == 50.0 and int(row3[0, 0]) == -1
+
+
+def test_aabb_overlap_query():
+    om, box, sph, pln = _om_box_sphere_plane()
+    # boxes at y = 0 and y = 10 (unit half-extent), sphere at y = 5
+    pos = np.zeros((1, 3, 3), np.float32)
+    pos[0, 1] = [0, 10, 0]
+    pos[0, 2] = [0, 5, 0]
+    rot = np.zeros((1, 3, 4), np.float32)
+    rot[..., 0] = 1
+    obj = np.asarray([[box, box, sph]], np.int32)
+    body = _bodies(pos, rot, np.ones((1, 3, 3), np.float32), obj)
+
+    q_lo = jnp.asarray([[[-0.5, -2.0, -0.5], [-0.5, 4.2, -0.5]]],
+                       jnp.float32)
+    q_hi = jnp.asarray([[[0.5, -0.9, 0.5], [0.5, 4.8, 0.5]]],
+                       jnp.float32)
+    m = np.asarray(query.aabb_overlap_bodies(body, om, q_lo, q_hi))
+    # query 0 touches only box 0's AABB (y in [-1, 1])
+    np.testing.assert_array_equal(m[0, 0], [True, False, False])
+    # query 1 touches only the sphere's AABB (y in [4, 6])
+    np.testing.assert_array_equal(m[0, 1], [False, False, True])
+
+    # dead rows never match
+    body2 = _bodies(pos, rot, np.ones((1, 3, 3), np.float32), obj,
+                    active=np.asarray([[False, True, True]]))
+    m2 = np.asarray(query.aabb_overlap_bodies(body2, om, q_lo, q_hi))
+    assert not m2[0, 0].any()
