@@ -41,6 +41,13 @@ class RenderConfig:
     # tensors dominate) at ~1% depth/uv error — plenty for small visual
     # observations; keep "float32" for golden tests / LOS queries.
     dtype: str = "float32"
+    # "mt": elementwise Möller–Trumbore sweep (VPU). "matmul": the
+    # pinhole factorization — per-(instance, tri) constant rows
+    # contracted against ray directions, one [T·3, 3] @ [3, R] einsum
+    # per instance, so the dominant FLOPs ride the MXU (bf16 in, f32
+    # accum). Identical hits modulo fp order; env knob
+    # MADRONA_TPU_TRACER overrides at trace time.
+    tracer: str = "mt"
     # shadow rays (BLAS tier only): one occlusion trace toward the light
     # per primary hit (reference MADRONA_RT_SHADOWS,
     # bvh_raycast.cpp:898-912). Roughly doubles trace cost.
@@ -136,19 +143,29 @@ def _trace_rays(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
     )
     t_hit = jnp.where(hit, t, ctype(cfg.t_max)).astype(jnp.float32)
 
-    # nearest over (I, T)
-    r = origins.shape[0]
+    # shading inputs: geometric normal per (I, T)
+    nx = (e1y * e2z - e1z * e2y)[..., 0]
+    ny = (e1z * e2x - e1x * e2z)[..., 0]
+    nz = (e1x * e2y - e1y * e2x)[..., 0]
+    n_l = jnp.stack([nx, ny, nz], axis=-1)            # [I, T, 3]
+    return _pick_shade(
+        cfg, t_hit, n_l.astype(jnp.float32), col, inst_rot, inst_scale
+    )
+
+
+def _pick_shade(cfg, t_hit, n_l, col, inst_rot, inst_scale):
+    """Winner selection + lambert shading shared by the tracer variants.
+
+    t_hit [I, T, R] f32 (t_max where missed), n_l [I, T, 3] local-frame
+    geometric normals, col [I, T, 3]. Returns (rgb [R, 3], depth [R]).
+    """
+    r = t_hit.shape[-1]
     t_flat = t_hit.reshape(-1, r)
     win = jnp.argmin(t_flat, axis=0)                  # [R]
     depth = jnp.min(t_flat, axis=0)
     oh_win = jax.nn.one_hot(win, t_flat.shape[0], dtype=jnp.float32)  # [R, IT]
 
-    # shading: lambert on the geometric normal
-    nx = (e1y * e2z - e1z * e2y)[..., 0]
-    ny = (e1z * e2x - e1x * e2z)[..., 0]
-    nz = (e1x * e2y - e1y * e2x)[..., 0]
     # normals back to world (rotate, undo scale direction-style)
-    n_l = jnp.stack([nx, ny, nz], axis=-1)            # [I, T, 3]
     n_w = m3.quat_rotate(
         inst_rot[:, None, :],
         n_l / jnp.maximum(inst_scale[:, None, :], 1e-12),
@@ -170,6 +187,74 @@ def _trace_rays(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
     missed = depth >= cfg.t_max
     rgb = jnp.where(missed[:, None], sky[None, :], rgb)
     return rgb, depth
+
+
+def _trace_rays_matmul(cfg, mesh: MeshTables, inst_pos, inst_rot,
+                       inst_scale, inst_obj, inst_mask, origin, dirs):
+    """Pinhole-factorized tracer: all rays share ``origin`` [3], so the
+    Möller–Trumbore numerators become per-(instance, tri) CONSTANT
+    vectors contracted against ray directions —
+
+        det   = d · (e2 × e1)
+        u·det = d · (e2 × (o_l - v0))
+        v·det = d · ((o_l - v0) × e1)
+        t·det = e2 · ((o_l - v0) × e1)        (ray-independent!)
+
+    i.e. one ``[T*3, 3] @ [3, R]`` matmul per instance (batched einsum),
+    which puts the dominant FLOPs on the MXU in bfloat16 instead of the
+    VPU's f32 elementwise sweep. Hits match :func:`_trace_rays` modulo
+    fp contraction order (tests/test_render.py pins equivalence).
+    """
+    ctype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    inv_q = m3.quat_inv(inst_rot)                     # [I, 4]
+    scale = jnp.maximum(inst_scale, 1e-12)
+    o_l = m3.quat_rotate(inv_q, origin[None, :] - inst_pos) / scale  # [I, 3]
+    d_l = m3.quat_rotate(inv_q[:, None, :], dirs[None, :, :]) / (
+        scale[:, None, :]
+    )                                                 # [I, R, 3]
+
+    oh = jax.nn.one_hot(inst_obj, mesh.tri_v0.shape[0])
+    pick = lambda tbl: jnp.einsum(
+        "io,otk->itk", oh, tbl.reshape(tbl.shape[0], tbl.shape[1], -1),
+        preferred_element_type=jnp.float32,
+    ).reshape((oh.shape[0],) + tbl.shape[1:])
+    v0 = pick(mesh.tri_v0)                            # [I, T, 3]
+    e1 = pick(mesh.tri_e1)
+    e2 = pick(mesh.tri_e2)
+    col = pick(mesh.tri_color)
+    tmask = jnp.einsum(
+        "io,ot->it", oh, mesh.tri_mask.astype(jnp.float32)
+    ) > 0.5
+
+    tvec = o_l[:, None, :] - v0                       # [I, T, 3]
+    c_det = jnp.cross(e2, e1)
+    c_u = jnp.cross(e2, tvec)
+    c_v = jnp.cross(tvec, e1)
+    t_num = jnp.sum(e2 * c_v, axis=-1)                # [I, T]
+    coef = jnp.stack([c_det, c_u, c_v], axis=2)       # [I, T, 3, 3]
+
+    # the MXU contraction: [I, T*3, 3] @ [I, 3, R]
+    vals = jnp.einsum(
+        "itck,irk->itcr", coef.astype(ctype), d_l.astype(ctype),
+        preferred_element_type=jnp.float32,
+    )                                                 # [I, T, 3, R]
+    det = vals[:, :, 0]
+    eps_det = 1e-9 if ctype == jnp.float32 else 1e-5
+    inv_det = jnp.where(jnp.abs(det) > eps_det, 1.0 / det, 0.0)
+    u = vals[:, :, 1] * inv_det
+    v = vals[:, :, 2] * inv_det
+    t = t_num[..., None] * inv_det
+
+    hit = (
+        (jnp.abs(det) > eps_det)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 1e-3) & (t < cfg.t_max)
+        & tmask[..., None]
+        & inst_mask[:, None, None]
+    )
+    t_hit = jnp.where(hit, t, cfg.t_max)
+    n_l = jnp.cross(e1, e2)                           # = -c_det
+    return _pick_shade(cfg, t_hit, n_l, col, inst_rot, inst_scale)
 
 
 def trace_rays_obb(inst_pos, inst_rot, inst_half, inst_mask,
@@ -217,8 +302,11 @@ def render_views(cfg: RenderConfig, mesh: MeshTables, inst_pos, inst_rot,
     ego camera excluding its own body). Returns
     (rgb [W, V, H, Wpx, 3], depth [W, V, H, Wpx]).
     """
+    import os as _os
+
     h, w = cfg.height, cfg.width
     n_views = cam_pos.shape[1]
+    tracer = _os.environ.get("MADRONA_TPU_TRACER", cfg.tracer)
     if inst_mask.ndim == 2:
         inst_mask = jnp.broadcast_to(
             inst_mask[:, None, :],
@@ -227,10 +315,16 @@ def render_views(cfg: RenderConfig, mesh: MeshTables, inst_pos, inst_rot,
 
     def per_cam(ip, ir, isc, io, im, cp, cr):
         o, d = camera_rays(cfg, cp, cr)
-        rgb, dep = _trace_rays(
-            cfg, mesh, ip, ir, isc, io, im,
-            o.reshape(-1, 3), d.reshape(-1, 3),
-        )
+        if tracer == "matmul":
+            # pinhole: every ray of this view shares origin cp
+            rgb, dep = _trace_rays_matmul(
+                cfg, mesh, ip, ir, isc, io, im, cp, d.reshape(-1, 3),
+            )
+        else:
+            rgb, dep = _trace_rays(
+                cfg, mesh, ip, ir, isc, io, im,
+                o.reshape(-1, 3), d.reshape(-1, 3),
+            )
         return rgb.reshape(h, w, 3), dep.reshape(h, w)
 
     per_world = jax.vmap(

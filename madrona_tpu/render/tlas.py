@@ -322,9 +322,14 @@ def render_views_tlas(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
 
     Returns (rgb [W, V, H, Wpx, 3], depth [W, V, H, Wpx], overlap
     [W, V] — the true per-view overlap count for overflow detection)."""
-    from .raycast import camera_rays, _trace_rays
+    import os as _os
+
+    from .raycast import camera_rays, _trace_rays, _trace_rays_matmul
 
     h, w = cfg.height, cfg.width
+    tracer = _os.environ.get(
+        "MADRONA_TPU_TRACER", getattr(cfg, "tracer", "mt")
+    )
     k = max_instances_per_view
     obj_lo, obj_hi = object_aabbs(mesh)
     n_views = cam_pos.shape[1]
@@ -348,11 +353,17 @@ def render_views_tlas(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
                 preferred_element_type=jnp.float32,
             )
             o, d = camera_rays(cfg, cp, cr)
-            rgb, dep = _trace_rays(
-                cfg, mesh, pick(ip), pick(ir), pick(isc),
-                (pick(io.astype(jnp.float32)) + 0.5).astype(jnp.int32),
-                ok, o.reshape(-1, 3), d.reshape(-1, 3),
-            )
+            k_obj = (pick(io.astype(jnp.float32)) + 0.5).astype(jnp.int32)
+            if tracer == "matmul":
+                rgb, dep = _trace_rays_matmul(
+                    cfg, mesh, pick(ip), pick(ir), pick(isc), k_obj,
+                    ok, cp, d.reshape(-1, 3),
+                )
+            else:
+                rgb, dep = _trace_rays(
+                    cfg, mesh, pick(ip), pick(ir), pick(isc), k_obj,
+                    ok, o.reshape(-1, 3), d.reshape(-1, 3),
+                )
             return rgb.reshape(h, w, 3), dep.reshape(h, w), n_overlap
 
         return jax.vmap(per_cam)(ims, cps, crs)

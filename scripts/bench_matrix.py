@@ -46,6 +46,18 @@ MATRIX = [
         "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
         "MADRONA_TPU_BENCH_WORLDS": "256",
     }),
+    ("hs_pixels 64 cullK8 matmul", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
+        "MADRONA_TPU_BENCH_TLAS_K": "8",
+        "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
+        "MADRONA_TPU_BENCH_WORLDS": "256",
+        "MADRONA_TPU_TRACER": "matmul",
+    }),
+    ("hs_pixels 16 cullK8 matmul", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
+        "MADRONA_TPU_BENCH_TLAS_K": "8",
+        "MADRONA_TPU_TRACER": "matmul",
+    }),
     ("hs_pixels 64 blas", {
         "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
         "MADRONA_TPU_BENCH_RENDER_TIER": "blas",

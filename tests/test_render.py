@@ -123,3 +123,63 @@ def test_obb_lidar_matches_box_mesh():
     # some rays start inside a box (exit-face semantics on both paths)
     np.testing.assert_allclose(depth_obb, depth_mesh, rtol=1e-4,
                                atol=1e-3)
+
+
+def test_matmul_tracer_matches_mt():
+    """The pinhole-factorized MXU tracer (RenderConfig.tracer="matmul")
+    produces the same images as the elementwise Möller–Trumbore sweep,
+    in f32 (tight) and bf16 (loose) — same scene, same cameras."""
+    import dataclasses
+
+    mesh, box, ground = make_scene()
+    rs = np.random.RandomState(2)
+    w_, i_, v_ = 2, 6, 3
+    pos = rs.uniform(-4, 4, (w_, i_, 3)).astype(np.float32)
+    pos[..., 2] = np.abs(pos[..., 2])
+    pos[:, 0] = 0.0                                  # ground at origin
+    ax = rs.normal(size=(w_, i_, 3))
+    ax /= np.linalg.norm(ax, axis=-1, keepdims=True)
+    th = rs.uniform(0, np.pi, (w_, i_, 1)).astype(np.float32)
+    rot = np.concatenate([np.cos(th / 2), np.sin(th / 2) * ax],
+                         -1).astype(np.float32)
+    rot[:, 0] = [1, 0, 0, 0]
+    scale = rs.uniform(0.5, 1.5, (w_, i_, 3)).astype(np.float32)
+    obj = np.full((w_, i_), box, np.int32)
+    obj[:, 0] = ground
+    mask = np.ones((w_, i_), bool)
+    cam_pos = rs.uniform(-6, 6, (w_, v_, 3)).astype(np.float32)
+    cam_pos[..., 2] = np.abs(cam_pos[..., 2]) + 1.0
+    cth = rs.uniform(0, np.pi, (w_, v_, 1)).astype(np.float32)
+    cax = rs.normal(size=(w_, v_, 3))
+    cax /= np.linalg.norm(cax, axis=-1, keepdims=True)
+    cam_rot = np.concatenate([np.cos(cth / 2), np.sin(cth / 2) * cax],
+                             -1).astype(np.float32)
+
+    args = tuple(jnp.asarray(a) for a in
+                 (pos, rot, scale, obj, mask, cam_pos, cam_rot))
+
+    for dtype, rtol, pix_tol in (("float32", 1e-4, 0.01),
+                                 ("bfloat16", 3e-2, 0.05)):
+        cfg_mt = RenderConfig(width=24, height=16, dtype=dtype)
+        cfg_mm = dataclasses.replace(cfg_mt, tracer="matmul")
+        rgb_a, dep_a = jax.jit(
+            lambda *a: render_views(cfg_mt, mesh, *a))(*args)
+        rgb_b, dep_b = jax.jit(
+            lambda *a: render_views(cfg_mm, mesh, *a))(*args)
+        dep_a, dep_b = np.asarray(dep_a), np.asarray(dep_b)
+        rgb_a, rgb_b = np.asarray(rgb_a), np.asarray(rgb_b)
+        hit_both = (dep_a < cfg_mt.t_max - 1.0) & (dep_b < cfg_mt.t_max - 1.0)
+        assert hit_both.mean() > 0.3
+        # same hit/miss classification except silhouette-edge pixels
+        agree = (dep_a < cfg_mt.t_max - 1.0) == (dep_b < cfg_mt.t_max - 1.0)
+        assert agree.mean() > 1.0 - pix_tol
+        rel = np.abs(dep_a[hit_both] - dep_b[hit_both]) / np.maximum(
+            dep_a[hit_both], 1.0
+        )
+        assert np.quantile(rel, 0.99) < rtol * 10 + 1e-6, dtype
+        np.testing.assert_allclose(
+            np.median(rel), 0.0, atol=rtol, err_msg=dtype
+        )
+        # colors agree on interior hit pixels
+        col_diff = np.abs(rgb_a - rgb_b).max(-1)
+        assert (col_diff[hit_both] < 0.15).mean() > 1.0 - pix_tol
