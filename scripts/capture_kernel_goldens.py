@@ -32,10 +32,10 @@ def main():
         )
     print(f"backend: {backend}; running compiled kernels...", flush=True)
     out = golden_inputs.run_kernels(interpret=False)
-    path = os.path.join(
-        os.path.dirname(__file__), "..", "tests", "goldens",
-        "kernels_v1.npz",
-    )
+    gdir = os.path.join(os.path.dirname(__file__), "..", "tests",
+                        "goldens")
+    os.makedirs(gdir, exist_ok=True)
+    path = os.path.join(gdir, "kernels_v1.npz")
     np.savez_compressed(path, **out)
     print(f"wrote {os.path.abspath(path)}:")
     for k, v in out.items():
