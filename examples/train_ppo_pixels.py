@@ -62,7 +62,9 @@ def init_conv_net(key, h, w, c, n_heads, widths=(16, 32), hidden=128):
     }
     for j, n in enumerate(n_heads):
         params[f"pi{j}"] = {
-            "w": jax.random.normal(ks[5], (hidden, n)) * 0.01,
+            "w": jax.random.normal(
+                jax.random.fold_in(ks[5], j), (hidden, n)
+            ) * 0.01,
             "b": jnp.zeros((n,)),
         }
     params["v"] = {

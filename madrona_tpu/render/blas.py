@@ -196,14 +196,19 @@ def _bf16_outward(lo: np.ndarray, hi: np.ndarray):
     # strictly inside
     def step_down(x):
         b = x.view(np.uint32) >> 16
-        pos = x >= 0
-        b2 = np.where(pos, np.maximum(b, 1) - 1, b + 1)
+        # branch on the SIGN BIT, not x >= 0: -0.0 compares >= 0 but its
+        # next value toward -inf is -min_bf16 (bits 0x8001), not +huge
+        neg = (b & 0x8000) != 0
+        b2 = np.where(neg, b + 1, np.where(b == 0, 0x8001, b - 1))
         return (b2.astype(np.uint32) << 16).view(np.float32)
 
     def step_up(x):
         b = x.view(np.uint32) >> 16
-        pos = x >= 0
-        b2 = np.where(pos, b + 1, np.maximum(b, 1) - 1)
+        neg = (b & 0x8000) != 0
+        # next toward +inf: -0.0/0x8000 -> +min_bf16 (0x0001)
+        b2 = np.where(
+            neg, np.where(b == 0x8000, 0x0001, b - 1), b + 1
+        )
         return (b2.astype(np.uint32) << 16).view(np.float32)
 
     lo_q = np.where(lo_t <= lo, lo_t, step_down(lo_t.copy()))

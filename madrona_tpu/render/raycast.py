@@ -55,6 +55,16 @@ class RenderConfig:
     shadow_ambient: float = 0.25   # light scale inside shadow
 
 
+def resolve_tracer(cfg: RenderConfig) -> str:
+    """The dense-tier tracer variant for this trace: cfg.tracer, with
+    the MADRONA_TPU_TRACER env var taking precedence (read at trace
+    time — the bench/tuning knob). Single source of truth for
+    render_views and render_views_tlas."""
+    import os as _os
+
+    return _os.environ.get("MADRONA_TPU_TRACER", cfg.tracer)
+
+
 def camera_rays(cfg: RenderConfig, cam_pos, cam_rot):
     """Ray origins/dirs for one camera. cam_rot: world-from-camera quat;
     camera looks along +y (the engine's forward), x right, z up —
@@ -302,11 +312,9 @@ def render_views(cfg: RenderConfig, mesh: MeshTables, inst_pos, inst_rot,
     ego camera excluding its own body). Returns
     (rgb [W, V, H, Wpx, 3], depth [W, V, H, Wpx]).
     """
-    import os as _os
-
     h, w = cfg.height, cfg.width
     n_views = cam_pos.shape[1]
-    tracer = _os.environ.get("MADRONA_TPU_TRACER", cfg.tracer)
+    tracer = resolve_tracer(cfg)
     if inst_mask.ndim == 2:
         inst_mask = jnp.broadcast_to(
             inst_mask[:, None, :],

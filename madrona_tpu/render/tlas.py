@@ -322,14 +322,12 @@ def render_views_tlas(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
 
     Returns (rgb [W, V, H, Wpx, 3], depth [W, V, H, Wpx], overlap
     [W, V] — the true per-view overlap count for overflow detection)."""
-    import os as _os
-
-    from .raycast import camera_rays, _trace_rays, _trace_rays_matmul
+    from .raycast import (
+        camera_rays, resolve_tracer, _trace_rays, _trace_rays_matmul,
+    )
 
     h, w = cfg.height, cfg.width
-    tracer = _os.environ.get(
-        "MADRONA_TPU_TRACER", getattr(cfg, "tracer", "mt")
-    )
+    tracer = resolve_tracer(cfg)
     k = max_instances_per_view
     obj_lo, obj_hi = object_aabbs(mesh)
     n_views = cam_pos.shape[1]

@@ -129,19 +129,23 @@ def main():
             )
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")]
-            rec = json.loads(line[-1]) if line else {
-                "error": (out.stderr or out.stdout)[-500:]}
+            try:
+                rec = json.loads(line[-1]) if line else {
+                    "error": (out.stderr or out.stdout)[-500:]}
+            except json.JSONDecodeError:
+                rec = {"error": f"unparseable output: {line[-1][:300]}"}
         except subprocess.TimeoutExpired:
             rec = {"error": f"timeout {args.timeout}s"}
         rec["label"] = label
         rec["wall_s"] = round(time.time() - t0, 1)
         rows.append(rec)
+        # flush incrementally: a later row's failure must not lose
+        # hours of completed TPU rows
+        with open(os.path.join(REPO, "bench_matrix.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
         val = rec.get("value", rec.get("error", "?"))
         print(f"  {label:28s} -> {val}", flush=True)
-
-    with open(os.path.join(REPO, "bench_matrix.json"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
 
     print("\n| config | env-steps/s | vs 1M target | wall s |")
     print("|---|---|---|---|")

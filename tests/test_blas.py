@@ -354,3 +354,36 @@ def test_wide4_plumbing_through_scene(sphere_bvh, terrain_bvh):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rgb_w), np.asarray(rgb_b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_outward_rounding_is_conservative():
+    """_bf16_outward must satisfy lo_q <= lo and hi_q >= hi for ALL
+    inputs — including the -0.0/denormal trap where truncation lands on
+    -0.0 and a sign-naive 'step down' would produce +3.4e38 (inverting
+    the box and culling its subtree)."""
+    from madrona_tpu.render.blas import _bf16_outward
+
+    rs = np.random.RandomState(11)
+    vals = np.concatenate([
+        rs.uniform(-100, 100, 256).astype(np.float32),
+        rs.uniform(-1e-38, 1e-38, 64).astype(np.float32),  # denormals
+        np.asarray([0.0, -0.0, -5e-41, 5e-41, 1e-30, -1e-30,
+                    np.inf, -np.inf], np.float32),
+    ])
+    lo = np.minimum(vals, 0.0) + vals * 0          # arbitrary pairing
+    lo = vals.copy()
+    hi = vals + np.abs(rs.uniform(0, 1, vals.shape)).astype(np.float32)
+    lo_q, hi_q = _bf16_outward(
+        lo.reshape(-1, 1, 1, 1).repeat(3, -1),
+        hi.reshape(-1, 1, 1, 1).repeat(3, -1),
+    )
+    lo_q = lo_q[..., 0].ravel()
+    hi_q = hi_q[..., 0].ravel()
+    fin = np.isfinite(lo)
+    assert (lo_q[fin] <= lo[fin]).all()
+    assert (hi_q[np.isfinite(hi)] >= hi[np.isfinite(hi)]).all()
+    # no finite bound may explode to huge magnitude (the -0.0 bug)
+    assert (np.abs(lo_q[fin]) < 1e30).all()
+    # infinities (padding boxes) must survive exactly
+    assert lo_q[~fin][np.isinf(lo[~fin])].tolist() == \
+        lo[~fin][np.isinf(lo[~fin])].tolist()
