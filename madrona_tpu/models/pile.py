@@ -98,11 +98,15 @@ class Pile(EnvBase):
             broadphase="swept", broadphase_window=broadphase_window,
         ))
         # contact budget: a settled pile averages ~3-5 touching
-        # neighbours per body + one floor contact each
+        # neighbours per body + one floor contact each. The sphere
+        # tier needs the largest headroom: ~n/3 of the bodies are
+        # spheres and sphere-vs-anything candidates peak mid-drop
+        # (measured: 512 saturated at t~35 in the 256-body settle —
+        # the cap-saturation overflow signal caught it)
         self.caps = caps or bp.CandidateCaps(
             hull_hull=4 * num_bodies,
             hull_plane=num_bodies + 8,
-            sphere_any=2 * num_bodies,
+            sphere_any=5 * num_bodies,
         )
         # lattice spawn: ceil-cube layout covering num_bodies slots
         side = int(np.ceil(num_bodies ** (1.0 / 3.0)))

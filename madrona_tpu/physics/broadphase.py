@@ -119,30 +119,54 @@ def _typed_compact(
     def compact(mask, cap):
         """Pack (first, second) of masked pairs into [W, cap, 2].
 
-        One-hot matmul compaction: a scatter would materialize padded
-        [W, P]-indexed buffers (see xpbd.pack_bodies note); the einsum
-        runs on the MXU and emits the sentinel n for empty slots."""
+        Returns (buf, count, saturated [W] bool — True where more than
+        ``cap`` pairs matched and the excess was DROPPED; callers must
+        surface it through Candidates.overflow, the same contract as
+        the swept window / Executor.maybe_grow re-tier signal).
+
+        Small tiers compact via one-hot MXU matmul (a [W, P, cap]
+        one-hot is cheap at all-pairs sizes and beats TPU scatter);
+        past ~2^16 cells per world the one-hot dominates memory (the
+        swept tier's P grows with window*n), so large tiers use the
+        ECS's race-free masked scatter instead — identical output."""
+        w_ = mask.shape[0]
         mi = mask.astype(jnp.int32)
         pos = jnp.cumsum(mi, axis=1) - mi
-        dest = jnp.where(mask & (pos < cap), pos, -1)
-        oh = jax.nn.one_hot(dest, cap, dtype=jnp.float32)   # [W, P, cap]
+        total = jnp.sum(mi, axis=1)
+        count = jnp.minimum(total, cap)
+        saturated = total > cap
         pair = jnp.stack(
             [jnp.broadcast_to(first, mask.shape),
              jnp.broadcast_to(second, mask.shape)], axis=-1
-        ).astype(jnp.float32)                               # [W, P, 2]
-        filled = jnp.einsum(
-            "wpc,wpk->wck", oh, pair, preferred_element_type=jnp.float32
-        )
-        used = jnp.einsum("wpc->wc", oh) > 0.5              # [W, cap]
-        buf = jnp.where(
-            used[..., None], filled, jnp.float32(n)
-        ).astype(jnp.int32)
-        count = jnp.minimum(jnp.sum(mi, axis=1), cap)
-        return buf, count
+        )                                                   # [W, P, 2]
+        if mask.shape[1] * cap <= 1 << 16:
+            dest = jnp.where(mask & (pos < cap), pos, -1)
+            oh = jax.nn.one_hot(dest, cap, dtype=jnp.float32)
+            filled = jnp.einsum(
+                "wpc,wpk->wck", oh, pair.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            used = jnp.einsum("wpc->wc", oh) > 0.5          # [W, cap]
+            buf = jnp.where(
+                used[..., None], filled, jnp.float32(n)
+            ).astype(jnp.int32)
+        else:
+            from ..ops import scatter as _scatter
 
-    hh, hh_num = compact(is_hh, caps.hull_hull)
-    hp, hp_num = compact(is_hp, caps.hull_plane)
-    sp, sp_num = compact(is_sphere, caps.sphere_any)
+            widx_p = jnp.broadcast_to(
+                jnp.arange(w_)[:, None], mask.shape
+            )
+            buf = _scatter.masked_set_2d(
+                jnp.full((w_, cap, 2), n, jnp.int32),
+                widx_p, pos, pair.astype(jnp.int32),
+                mask & (pos < cap),
+            )
+        return buf, count, saturated
+
+    hh, hh_num, hh_sat = compact(is_hh, caps.hull_hull)
+    hp, hp_num, hp_sat = compact(is_hp, caps.hull_plane)
+    sp, sp_num, sp_sat = compact(is_sphere, caps.sphere_any)
+    cap_sat = hh_sat | hp_sat | sp_sat
 
     # second-prim type per sphere candidate (for SS/SH/SP select)
     widx = jnp.arange(w)[:, None]
@@ -154,7 +178,8 @@ def _typed_compact(
         overflow = jnp.zeros((w,), bool)
     return Candidates(
         hh=hh, hh_num=hh_num, hp=hp, hp_num=hp_num,
-        sp=sp, sp_num=sp_num, sp_kind=sp_kind, overflow=overflow,
+        sp=sp, sp_num=sp_num, sp_kind=sp_kind,
+        overflow=overflow | cap_sat,
     )
 
 
@@ -274,10 +299,13 @@ def find_candidates_swept(
     # exactness check: # of subsequent smalls whose x-interval starts
     # before this one ends must fit in the window
     s_key = jnp.where(s_live, s_lo[..., 0], jnp.inf)
-    # vectorized per-world searchsorted: position of hi.x in sorted lo.x
-    reach = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(
-        s_key, jnp.where(s_live, s_hi[..., 0], -jnp.inf)
-    )                                                        # [W, N]
+    # vectorized per-world searchsorted: count of lo.x <= hi.x(i) —
+    # side='right' because the sweep's pair test is INCLUSIVE
+    # (b_lo <= a_hi); side='left' would miss exactly-touching partners
+    # beyond the window without raising overflow
+    reach = jax.vmap(
+        lambda k_, v_: jnp.searchsorted(k_, v_, side="right"),
+    )(s_key, jnp.where(s_live, s_hi[..., 0], -jnp.inf))      # [W, N]
     span = reach - jnp.arange(n)[None, :] - 1                # partners after i
     overflow = jnp.any(s_live & (span > window), axis=1)     # [W]
 

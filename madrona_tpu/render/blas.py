@@ -595,6 +595,7 @@ def trace_scene_blas(
     origins, dirs,                                        # [R, 3]
     materials=None,
     lights=None,
+    shadow_scene=None,
 ):
     """Nearest hit over all instances via per-(instance, ray) walks;
     same contract as raycast._trace_rays: returns (rgb [R,3], depth [R]).
@@ -609,6 +610,12 @@ def trace_scene_blas(
     spotlight cones + per-light shadow casting
     (bvh_raycast.cpp:865-925); cfg.shadows then gates whether ANY
     occlusion rays are traced (one per light).
+
+    ``shadow_scene``: optional (pos, rot, scale, obj, mask) instance set
+    for occlusion traces. Callers that cull the primary set to a view
+    frustum MUST pass the full set here — occluders outside the frustum
+    still cast shadows into it (frustum culling is only valid for
+    primary rays).
     """
     depth, win, w_tri_raw, u, v = _trace_nearest(
         cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
@@ -627,11 +634,6 @@ def trace_scene_blas(
     n_w = n_w / jnp.maximum(
         jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12
     )
-    light = -jnp.asarray(
-        np.array(cfg.light_dir) / np.linalg.norm(cfg.light_dir),
-        jnp.float32,
-    )
-    lam = jnp.abs(jnp.sum(n_w * light, axis=-1))
 
     if materials is not None and blas.tri_uv is not None:
         from .materials import sample_materials
@@ -647,12 +649,21 @@ def trace_scene_blas(
     else:
         albedo = blas.tri_color[w_obj, w_tri]
 
-    def shadow_trace(s_org, s_dir):
-        _, _, s_tri, _, _ = _trace_nearest(
-            cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj,
-            inst_mask, s_org, s_dir, cfg.t_max,
+    sh_pos, sh_rot, sh_scale, sh_obj, sh_mask = (
+        shadow_scene if shadow_scene is not None
+        else (inst_pos, inst_rot, inst_scale, inst_obj, inst_mask)
+    )
+
+    def shadow_trace(s_org, s_dir, t_limit):
+        """Occluded iff something hits strictly BEFORE t_limit — for a
+        spotlight that is the distance to the light; geometry beyond
+        the light must not shadow (bvh_raycast.cpp traces the shadow
+        segment, not an infinite ray)."""
+        s_dep, _, s_tri, _, _ = _trace_nearest(
+            cfg, blas, sh_pos, sh_rot, sh_scale, sh_obj,
+            sh_mask, s_org, s_dir, cfg.t_max,
         )
-        return s_tri >= 0
+        return (s_tri >= 0) & (s_dep < t_limit)
 
     if lights is not None:
         from .lights import light_contrib
@@ -671,6 +682,14 @@ def trace_scene_blas(
         depth = jnp.where(hit_any, depth, cfg.t_max)
         return rgb, depth
 
+    # single hardcoded directional light (only reached when no light
+    # table was given — computed after the multi-light early return)
+    light = -jnp.asarray(
+        np.array(cfg.light_dir) / np.linalg.norm(cfg.light_dir),
+        jnp.float32,
+    )
+    lam = jnp.abs(jnp.sum(n_w * light, axis=-1))
+
     light_scale = jnp.ones_like(lam)
     if cfg.shadows:
         # occlusion trace from the hit point toward the light
@@ -679,7 +698,8 @@ def trace_scene_blas(
             jnp.sum(n_w * light, axis=-1) >= 0, 1e-2, -1e-2
         )[:, None]
         occluded = shadow_trace(
-            s_org, jnp.broadcast_to(light[None, :], s_org.shape)
+            s_org, jnp.broadcast_to(light[None, :], s_org.shape),
+            jnp.full(s_org.shape[:1], jnp.inf, jnp.float32),
         ) & hit_any
         light_scale = jnp.where(occluded, cfg.shadow_ambient, 1.0)
 
@@ -724,6 +744,9 @@ def render_views_blas(
     def per_cam(ip, ir, isc, io, im, lt, cp, cr, lo=None, hi=None):
         o, d = camera_rays(cfg, cp, cr)
         n_overlap = None
+        # occlusion rays always see the FULL instance set: an occluder
+        # outside the view frustum still casts shadows into it
+        shadow_scene = (ip, ir, isc, io, im)
         if k > 0:
             from .tlas import cull_view_topk
 
@@ -741,7 +764,7 @@ def render_views_blas(
         rgb, dep = trace_scene_blas(
             cfg, blas, ip, ir, isc, io, im,
             o.reshape(-1, 3), d.reshape(-1, 3), materials=materials,
-            lights=lt,
+            lights=lt, shadow_scene=shadow_scene,
         )
         return rgb.reshape(h, w, 3), dep.reshape(h, w), n_overlap
 

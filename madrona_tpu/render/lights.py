@@ -89,8 +89,10 @@ def light_contrib(lights: Lights, hit_p, n_w, hit_any, shadow_trace,
     """The reference's per-light loop on [R]-lane arrays for ONE world.
 
     lights: [L]-capacity table rows; hit_p/n_w: [R, 3]; shadow_trace:
-    fn(origins [R,3], dirs [R,3]) -> occluded [R] bool (only called
-    when ``use_shadows`` and some light casts). Returns contrib [R]."""
+    fn(origins [R,3], dirs [R,3], t_limit [R]) -> occluded [R] bool —
+    occluded iff a hit lands strictly before t_limit (the distance to
+    a spotlight; inf for directional lights, whose occluders can sit
+    anywhere along the ray). Returns contrib [R]."""
     l = lights.capacity
     contrib = jnp.zeros(hit_p.shape[0], jnp.float32)
     for i in range(l):
@@ -111,11 +113,16 @@ def light_contrib(lights: Lights, hit_p, n_w, hit_any, shadow_trace,
         lam = jnp.clip(ndl, 0.0, 1.0) * lights.intensity[i]
         lit = jnp.ones_like(contrib, bool)
         if use_shadows:
-            # trace regardless (fixed compute), mask by cast_shadow
+            # trace regardless (fixed compute), mask by cast_shadow;
+            # the shadow segment ends AT a spotlight — geometry beyond
+            # the light position must not occlude it
             s_org = hit_p + n_w * jnp.where(
                 ndl >= 0, 1e-2, -1e-2
             )[:, None]
-            occluded = shadow_trace(s_org, ldir)
+            t_limit = jnp.where(
+                is_spot, tl_len[:, 0] - 2e-2, jnp.float32(jnp.inf)
+            )
+            occluded = shadow_trace(s_org, ldir, t_limit)
             lit = (~lights.cast_shadow[i]) | (
                 (ndl > 0.0) & (~occluded)
             )

@@ -103,9 +103,11 @@ def sample_materials(tables: MaterialTables, mat_id, uv):
     ti = jnp.maximum(t, 0)
 
     def texel(yy, xx):
+        # GL_REPEAT: neighbor texels WRAP across tile edges (clipping
+        # would duplicate edge texels and draw seams at integer uv)
         return tables.atlas[
-            ti, jnp.clip(yy, 0, s - 1).astype(jnp.int32),
-            jnp.clip(xx, 0, s - 1).astype(jnp.int32),
+            ti, jnp.mod(yy.astype(jnp.int32), s),
+            jnp.mod(xx.astype(jnp.int32), s),
         ]
 
     c00 = texel(y0, x0)

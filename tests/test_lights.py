@@ -205,3 +205,86 @@ def test_rendering_system_lights_end_to_end(scene):
     np.testing.assert_allclose(
         np.asarray(rgb[0]), np.asarray(rgb[1]), atol=1e-6
     )
+
+
+def test_spotlight_not_occluded_by_geometry_beyond_light():
+    """The shadow segment ends AT the light: a ceiling ABOVE a
+    spotlight must not shadow the floor below it (the shadow ray used
+    to run to t_max and hit the ceiling)."""
+    gv, gt = _quad()
+    blas = bake_blas(
+        [build_mesh_bvh(gv, gt)], colors=[(0.8, 0.8, 0.8)],
+    )
+    # floor at z=0 and ceiling at z=6; spotlight at z=3 pointing down
+    inst_pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 6.0]])
+    inst_rot = jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
+    inst_scale = jnp.ones((2, 3))
+    inst_obj = jnp.zeros((2,), jnp.int32)
+    inst_mask = jnp.ones((2,), bool)
+
+    lights = _one_world(make_lights(1, [{
+        "position": [0.0, 0.0, 3.0], "direction": [0.0, 0.0, -1.0],
+        "cutoff": np.pi / 3, "cast_shadow": True,
+    }]))
+    cfg = RenderConfig(t_max=50.0, shadows=True, ambient=0.1)
+    # rays from just under the ceiling straight down at the floor
+    o = jnp.asarray([[0.3, 0.0, 5.5], [-0.3, 0.2, 5.5]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 2, jnp.float32)
+    rgb, dep = trace_scene_blas(
+        cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+        o, d, lights=lights,
+    )
+    np.testing.assert_allclose(np.asarray(dep), 5.5, rtol=1e-4)
+    # lit by the spotlight: well above the ambient floor
+    assert (np.asarray(rgb).max(-1) > 0.3).all(), np.asarray(rgb)
+
+
+def test_culled_views_keep_offscreen_shadow_casters():
+    """render_views_blas with top-K culling: an occluder OUTSIDE the
+    view frustum (behind the camera, between the sun and the floor)
+    must still shadow the visible floor — shadow rays trace the full
+    instance set, not the culled one."""
+    from madrona_tpu.render.blas import render_views_blas
+
+    gv, gt = _quad(span=20.0)
+    bv, bt = _box(2.0)
+    blas = bake_blas(
+        [build_mesh_bvh(gv, gt), build_mesh_bvh(bv, bt)],
+        colors=[(0.8, 0.8, 0.8), (0.2, 0.2, 0.9)],
+    )
+    # camera at (0, -6, 4) looking +y (down-tilted); floor + a tall box
+    # BEHIND the camera at y=-12 blocking a sun shining along +y,down
+    cam_pos = jnp.asarray([[[0.0, -6.0, 4.0]]])
+    th = -0.5
+    cam_rot = jnp.asarray(
+        [[[np.cos(th / 2), np.sin(th / 2), 0.0, 0.0]]], jnp.float32
+    )
+    inst_pos = jnp.asarray([[[0, 0, 0.0], [0.0, -12.0, 4.0]]])
+    inst_rot = jnp.asarray([[[1.0, 0, 0, 0], [1.0, 0, 0, 0]]])
+    inst_scale = jnp.ones((1, 2, 3))
+    inst_obj = jnp.asarray([[0, 1]], jnp.int32)
+    inst_mask = jnp.ones((1, 2), bool)
+    import dataclasses as dc
+
+    cfg = RenderConfig(width=24, height=16, t_max=100.0, shadows=True,
+                       light_dir=(0.0, 0.55, -0.45))
+
+    def render(k):
+        out = render_views_blas(
+            cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj,
+            inst_mask, cam_pos, cam_rot, max_instances_per_view=k,
+        )
+        return np.asarray(out[0]), np.asarray(out[1])
+
+    rgb_full, dep_full = render(0)
+    rgb_cull, dep_cull = render(1)   # K=1: only the floor survives cull
+    # same floor geometry visible either way
+    hit = (dep_full < 99.0) & (dep_cull < 99.0)
+    assert hit.mean() > 0.3
+    # the off-screen box's shadow must match between full and culled
+    np.testing.assert_allclose(
+        rgb_cull[hit], rgb_full[hit], atol=0.05,
+    )
+    # and a shadow actually exists: some floor pixels darker than others
+    floor = rgb_full[hit].max(-1)
+    assert floor.min() < 0.6 * floor.max()
