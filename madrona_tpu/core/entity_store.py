@@ -99,12 +99,24 @@ def free(store: EntityStore, entity, valid):
     :func:`lookup`.
     """
     w, k = valid.shape
-    eid = jnp.clip(Entity.id(entity), 0, store.gen.shape[1] - 1)
+    raw_id = Entity.id(entity)
+    in_range = (raw_id >= 0) & (raw_id < store.gen.shape[1])
+    eid = jnp.clip(raw_id, 0, store.gen.shape[1] - 1)
     widx = jnp.broadcast_to(jnp.arange(w)[:, None], (w, k))
-    # Only free live, matching-generation ids.
-    live = valid & (store.gen[widx, eid] == Entity.gen(entity)) & (
-        Entity.gen(entity) >= 0
+    # Only free live, in-range, matching-generation ids (an
+    # out-of-range id must not alias onto the clipped slot).
+    live = valid & in_range & (
+        store.gen[widx, eid] == Entity.gen(entity)
+    ) & (Entity.gen(entity) >= 0)
+    # Duplicate handles for the same id WITHIN this batch: only the
+    # first occurrence frees (gen is read pre-bump, so without this a
+    # doubled handle would push the id onto the free stack twice and
+    # two later allocs would hand out the same id).
+    same = (eid[:, :, None] == eid[:, None, :]) & live[:, :, None] & (
+        live[:, None, :]
     )
+    earlier = jnp.tril(jnp.ones((k, k), bool), k=-1)[None]
+    live = live & ~jnp.any(same & earlier, axis=2)
     live_i = live.astype(jnp.int32)
     rank = jnp.cumsum(live_i, axis=1) - live_i
     pos = store.free_top[:, None] + rank
@@ -132,7 +144,10 @@ def lookup(store: EntityStore, entity):
     w = store.gen.shape[0]
     widx = jnp.arange(w).reshape((w,) + (1,) * (eid.ndim - 1))
     cur_gen = store.gen[widx, eid_c]
-    valid = (egen >= 0) & (eid >= 0) & (cur_gen == egen)
+    valid = (
+        (egen >= 0) & (eid >= 0) & (eid < store.gen.shape[1])
+        & (cur_gen == egen)
+    )
     arch = jnp.where(valid, store.arch[widx, eid_c], -1)
     row = jnp.where(valid, store.row[widx, eid_c], -1)
     return arch, row, valid
@@ -148,6 +163,13 @@ def update_rows(store: EntityStore, table_eid, table_egen, live_mask):
     w, c = table_eid.shape
     widx = jnp.broadcast_to(jnp.arange(w)[:, None], (w, c))
     rows = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :], (w, c))
-    ok = live_mask & (table_eid >= 0)
+    eid_c = jnp.clip(table_eid, 0, store.gen.shape[1] - 1)
+    # generation check: a table row still carrying a STALE id (freed,
+    # then re-allocated elsewhere) must not re-point the current
+    # generation's row mapping
+    ok = (
+        live_mask & (table_eid >= 0)
+        & (store.gen[widx, eid_c] == table_egen)
+    )
     new_row = _scatter.masked_set_2d(store.row, widx, table_eid, rows, ok)
     return dataclasses.replace(store, row=new_row)

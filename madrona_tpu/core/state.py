@@ -270,11 +270,27 @@ class StateManager:
         spec = self.archetypes[arch]
         table = state.tables[arch]
         base_row = table.num_rows
+        # mask candidates whose row would overflow the table BEFORE id
+        # allocation: otherwise the store hands out live handles whose
+        # rows append_many silently drops (phantom entities pointing
+        # past capacity — lookup() would return valid with row >= cap).
+        vi = valid.astype(jnp.int32)
+        rank = jnp.cumsum(vi, axis=1) - vi
+        fits = base_row[:, None] + rank < spec.capacity
         store, ent, rows = _estore.alloc(
-            state.entities, valid, self._arch_index[arch], base_row
+            state.entities, valid & fits, self._arch_index[arch], base_row
         )
         ok = rows >= 0
         table = _arch.append_many(table, values, ok)
+        # capacity-dropped candidates never reached append_many (they
+        # were masked pre-alloc), so count them into the overflow
+        # re-trace signal here (Executor.maybe_grow reads it)
+        table = dataclasses.replace(
+            table,
+            overflow=table.overflow + jnp.sum(
+                (valid & ~fits).astype(jnp.int32), axis=1
+            ),
+        )
         # Record entity ids into the table rows just written.
         w, k = ok.shape
         widx = jnp.broadcast_to(jnp.arange(w)[:, None], (w, k))

@@ -188,7 +188,7 @@ def _maybe_grow(self, factor: int = 2):
     for name, count in self.overflow_counts().items():
         spec = self.sm.archetypes[name]
         need = spec.capacity + count
-        new_cap = spec.capacity
+        new_cap = max(spec.capacity, 1)   # capacity-0 archetype: seed 1
         while new_cap < need:
             new_cap *= factor
         self.grow_archetype(name, new_cap)

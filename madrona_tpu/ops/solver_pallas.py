@@ -209,7 +209,9 @@ def _apply_positional_pl(x1, x2, q1, q2, r1, r2, im1, im2, ii1, ii2,
     ra2 = tuple(ii2[i] * t2[i] for i in range(3))
     w1 = _ginv_mass(t1, ra1, im1)
     w2 = _ginv_mass(t2, ra2, im2)
-    lam = -c / (w1 + w2)
+    # immovable-pair guard (matches xpbd._apply_positional_update)
+    den = w1 + w2
+    lam = jnp.where(den > 0, -c / jnp.where(den > 0, den, 1.0), 0.0)
     x1 = tuple(x1[i] + lam * im1 * nrm[i] for i in range(3))
     x2 = tuple(x2[i] - lam * im2 * nrm[i] for i in range(3))
     half = 0.5 * lam
@@ -266,7 +268,10 @@ def _solve_contact_pl(b1, b2, r1, r2, nrm, mu_s):
     fr2 = tuple(b2["inv_i"][i] * ft2[i] for i in range(3))
     w1 = _ginv_mass(ft1, fr1, b1["inv_m"])
     w2 = _ginv_mass(ft2, fr2, b2["inv_m"])
-    lam_t = -t_mag / (w1 + w2)
+    den_t = w1 + w2
+    lam_t = jnp.where(
+        den_t > 0, -t_mag / jnp.where(den_t > 0, den_t, 1.0), 0.0
+    )
     apply_f = penetrating & (t_mag > 0.0) & (lam_t > lam_n * mu_s)
     fx1 = tuple(x1[i] + lam_t * b1["inv_m"] * t_world[i] for i in range(3))
     fx2 = tuple(x2[i] - lam_t * b2["inv_m"] * t_world[i] for i in range(3))
@@ -527,7 +532,11 @@ def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
     rr2 = tuple(b2["inv_i"][i] * rt2[i] for i in range(3))
     gw1 = _ginv_mass(rt1, rr1, b1["inv_m"])
     gw2 = _ginv_mass(rt2, rr2, b2["inv_m"])
-    imp = jnp.where(ok, rest_mag / (gw1 + gw2), 0.0)
+    den_r = gw1 + gw2
+    imp = jnp.where(
+        ok & (den_r > 0),
+        rest_mag / jnp.where(den_r > 0, den_r, 1.0), 0.0,
+    )
     dv1 = _vscale(nrm, imp * b1["inv_m"])
     dv2 = tuple(-p for p in _vscale(nrm, imp * b2["inv_m"]))
     dw1 = _qrot(q1, _vscale(rr1, imp))
@@ -574,7 +583,11 @@ def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
         fra2 = tuple(b2["inv_i"][k] * fta2[k] for k in range(3))
         fw1 = _ginv_mass(fta1, fra1, b1["inv_m"])
         fw2 = _ginv_mass(fta2, fra2, b2["inv_m"])
-        inv_scale = 1.0 / (fw1 + fw2)
+        den_f = fw1 + fw2
+        inv_scale = jnp.where(
+            den_f > 0, 1.0 / jnp.where(den_f > 0, den_f, 1.0), 0.0
+        )
+        # deliberate double inv_scale (reference xpbd.cpp:834-842)
         dyn_mag = mu_d * jnp.abs(lam_pt) * inv_scale / h
         corrected = -jnp.minimum(dyn_mag, vt_len)
         f_imp = corrected * inv_scale

@@ -184,18 +184,6 @@ def query_face_directions(a: HullW, b: HullW):
     return jnp.max(seps), idx
 
 
-def _is_minkowski_face(na1, na2, nb1, nb2):
-    """Gauss-map arc intersection test (narrowphase.cpp:367-380).
-    Vectorized over leading axes."""
-    bxa = jnp.cross(na2, na1)
-    dxc = jnp.cross(nb2, nb1)
-    cba = jnp.sum(nb1 * bxa, axis=-1)
-    dba = jnp.sum(nb2 * bxa, axis=-1)
-    adc = jnp.sum(na1 * dxc, axis=-1)
-    bdc = jnp.sum(na2 * dxc, axis=-1)
-    return (cba * dba < 0.0) & (adc * bdc < 0.0) & (cba * bdc > 0.0)
-
-
 def _v3(arr):
     """[K, 3] -> component tuple ([K], [K], [K]).
 

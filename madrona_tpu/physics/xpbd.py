@@ -230,7 +230,11 @@ def _apply_positional_update(
     rot_axis2 = inv_i2 * t_axis2
     w1 = _generalized_inv_mass(t_axis1, rot_axis1, inv_m1)
     w2 = _generalized_inv_mass(t_axis2, rot_axis2, inv_m2)
-    lam = -c / (w1 + w2 + alpha_tilde)
+    # guard: two immovable bodies (kinematic/static, inv masses all 0)
+    # can reach here — broadphase filters only static|static pairs; a
+    # 0/0 would scatter NaN into both poses
+    denom = w1 + w2 + alpha_tilde
+    lam = jnp.where(denom > 0, -c / jnp.where(denom > 0, denom, 1.0), 0.0)
 
     x1 = x1 + (lam * inv_m1)[..., None] * n_world
     x2 = x2 - (lam * inv_m2)[..., None] * n_world
@@ -286,7 +290,10 @@ def _solve_contact(
     fr_axis2 = inv_i2 * ft_axis2
     w1 = _generalized_inv_mass(ft_axis1, fr_axis1, inv_m1)
     w2 = _generalized_inv_mass(ft_axis2, fr_axis2, inv_m2)
-    lam_t = -t_mag / (w1 + w2)
+    den_t = w1 + w2
+    lam_t = jnp.where(
+        den_t > 0, -t_mag / jnp.where(den_t > 0, den_t, 1.0), 0.0
+    )
     # reference: apply when lambda_t > lambda_n * mu_s (both negative)
     apply_friction = (
         penetrating & (t_mag > 0.0) & (lam_t > lam_n * avg_mu_s)
@@ -471,7 +478,10 @@ def solve_velocities(
         rr_axis2 = b2["inv_i"] * rt_axis2
         gw1 = _generalized_inv_mass(rt_axis1, rr_axis1, b1["inv_m"])
         gw2 = _generalized_inv_mass(rt_axis2, rr_axis2, b2["inv_m"])
-        imp = rest_mag / (gw1 + gw2)
+        den_r = gw1 + gw2
+        imp = jnp.where(
+            den_r > 0, rest_mag / jnp.where(den_r > 0, den_r, 1.0), 0.0
+        )
         imp = jnp.where(ok, imp, 0.0)
         v1 = v1 + nrm * (imp * b1["inv_m"])[..., None]
         v2 = v2 - nrm * (imp * b2["inv_m"])[..., None]
@@ -506,7 +516,14 @@ def solve_velocities(
             fra2 = b2["inv_i"] * fta2
             fw1 = _generalized_inv_mass(fta1, fra1, b1["inv_m"])
             fw2 = _generalized_inv_mass(fta2, fra2, b2["inv_m"])
-            inv_scale = 1.0 / (fw1 + fw2)
+            den_f = fw1 + fw2
+            inv_scale = jnp.where(
+                den_f > 0, 1.0 / jnp.where(den_f > 0, den_f, 1.0), 0.0
+            )
+            # NOTE: inv_scale deliberately appears TWICE (in dyn_mag and
+            # in f_imp) — the reference deviates from the XPBD paper
+            # here on purpose (xpbd.cpp:834-836 "Note the paper is
+            # incorrect here (doesn't have w1 + w2 divisor)")
             dyn_mag = mu_d * jnp.abs(lam_pt) * inv_scale / h
             corrected = -jnp.minimum(dyn_mag, vt_len)
             f_imp = corrected * inv_scale
@@ -596,27 +613,6 @@ def _gather_packed(packed, rows):
         "wcn,wnf->wcf", oh, packed, preferred_element_type=jnp.float32
     )
     return _unpack(blk)
-
-
-def _gather_bodies_batch(body: BodyState, om, rows):
-    """Per-contact body slices, vectorized over slots. rows: [W, C]."""
-    return _gather_packed(pack_bodies(body, om), rows)
-
-
-def _scatter_avg(base, rows, deltas, ok):
-    """base [W,N,D] += mean of masked per-slot deltas [W,C,D] per row."""
-    w, n = base.shape[:2]
-    widx = jnp.arange(w)[:, None]
-    safe = jnp.where(ok, rows, n)
-    zero = jnp.zeros((w, n + 1) + base.shape[2:], base.dtype)
-    acc = zero.at[widx, safe].add(
-        jnp.where(ok.reshape(ok.shape + (1,) * (deltas.ndim - 2)), deltas, 0.0)
-    )[:, :n]
-    cnt = jnp.zeros((w, n + 1), jnp.float32).at[widx, safe].add(
-        ok.astype(jnp.float32)
-    )[:, :n]
-    cnt = jnp.maximum(cnt, 1.0).reshape(cnt.shape + (1,) * (base.ndim - 2))
-    return base + acc / cnt
 
 
 def _scatter_avg_packed(rows, deltas, ok, n):
@@ -747,7 +743,11 @@ def solve_velocities_jacobi(
     rr_axis2 = b2["inv_i"] * rt_axis2
     gw1 = _generalized_inv_mass(rt_axis1, rr_axis1, b1["inv_m"])
     gw2 = _generalized_inv_mass(rt_axis2, rr_axis2, b2["inv_m"])
-    imp = jnp.where(ok, rest_mag / (gw1 + gw2), 0.0)
+    den_r = gw1 + gw2
+    imp = jnp.where(
+        ok & (den_r > 0),
+        rest_mag / jnp.where(den_r > 0, den_r, 1.0), 0.0,
+    )
     dv1 = nrm * (imp * b1["inv_m"])[..., None]
     dv2 = -nrm * (imp * b2["inv_m"])[..., None]
     dw1 = m3.quat_rotate(q1, imp[..., None] * rr_axis1)
@@ -794,7 +794,11 @@ def solve_velocities_jacobi(
     fra2 = b2e["inv_i"] * fta2
     fw1 = _generalized_inv_mass(fta1, fra1, b1e["inv_m"])
     fw2 = _generalized_inv_mass(fta2, fra2, b2e["inv_m"])
-    inv_scale = 1.0 / (fw1 + fw2)
+    den_f = fw1 + fw2
+    inv_scale = jnp.where(
+        den_f > 0, 1.0 / jnp.where(den_f > 0, den_f, 1.0), 0.0
+    )
+    # deliberate double inv_scale — see the Gauss-Seidel copy's note
     dyn_mag = mu_d[..., None] * jnp.abs(lam_pt) * inv_scale / h
     corrected = -jnp.minimum(dyn_mag, vt_len)
     f_imp = corrected * inv_scale

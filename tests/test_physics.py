@@ -545,3 +545,66 @@ def test_tgs_via_physics_config():
     # agents stay on the floor and moved forward
     assert (pos[:, 19:, 2] > 0.4).all() and (pos[:, 19:, 2] < 1.2).all()
     assert (pos[:, 19:, 1] > 1.6).all()
+
+
+def test_kinematic_on_static_no_nan():
+    """A zero-inverse-mass (kinematic) body contacting a static floor
+    must not NaN the solver: the pair passes broadphase (only
+    static|static filters), the contact is valid, and the positional
+    lambda's w1+w2 denominator is zero — the guarded division keeps
+    every pose finite and unmoved."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from madrona_tpu.core.registry import ECSRegistry
+    from madrona_tpu.core.state import StateManager
+    from madrona_tpu.graph.builder import TaskGraphBuilder
+    from madrona_tpu.graph.executor import Executor
+    from madrona_tpu.physics import api as phys
+    from madrona_tpu.physics import bodies
+    from madrona_tpu.physics.bodies import ObjectRegistry
+    from madrona_tpu.physics.geo import box_hull
+    from madrona_tpu.physics.xpbd import PhysicsConfig
+
+    sm = StateManager()
+    reg = ECSRegistry(sm)
+    phys.register_types(reg, max_bodies=2)
+    om_r = ObjectRegistry()
+    # mass=0 -> inv_m = 0, inv_i = 0: immovable hull
+    kin = om_r.add_hull(box_hull((0.5, 0.5, 0.5)), mass=0.0)
+    pln = om_r.add_plane()
+    om = om_r.build()
+    b = TaskGraphBuilder(sm, "step")
+    phys.setup_physics_step_tasks(b, om, PhysicsConfig())
+    ex = Executor(sm, {"step": b.build()}, num_worlds=2, seed=0,
+                  donate=False)
+
+    state = ex.state
+    t = state.tables["RigidBody"]
+    cols = dict(t.columns)
+    pos = np.zeros((2, 2, 3), np.float32)
+    pos[:, 1] = [0, 0, 0.3]          # kinematic box PENETRATING floor
+    cols["Position"] = jnp.asarray(pos)
+    rot = np.zeros((2, 2, 4), np.float32)
+    rot[..., 0] = 1
+    cols["Rotation"] = jnp.asarray(rot)
+    cols["Scale"] = jnp.ones((2, 2, 3), jnp.float32)
+    cols["ObjectID"] = jnp.asarray(
+        np.tile([pln, kin], (2, 1)).astype(np.int32))
+    cols["ResponseType"] = jnp.asarray(np.tile(
+        [bodies.RESPONSE_STATIC, bodies.RESPONSE_KINEMATIC], (2, 1)
+    ).astype(np.int32))
+    tables = dict(state.tables)
+    tables["RigidBody"] = dc.replace(
+        t, columns=cols, num_rows=jnp.full((2,), 2, jnp.int32)
+    )
+    ex.state = dc.replace(state, tables=tables)
+
+    for _ in range(5):
+        ex.run(inputs={})
+    p = np.asarray(ex.state.tables["RigidBody"].columns["Position"])
+    q = np.asarray(ex.state.tables["RigidBody"].columns["Rotation"])
+    assert np.isfinite(p).all() and np.isfinite(q).all()
+    # the kinematic body stays exactly where it was put
+    np.testing.assert_allclose(p[:, 1], [[0, 0, 0.3]] * 2, atol=1e-5)
