@@ -78,8 +78,18 @@ class _Prim:
 
 
 def _parse_prims(body: str) -> List[_Prim]:
+    return _parse_prims_ex(body)[0]
+
+
+def _parse_prims_ex(body: str):
+    """Parse child prims AND return the body text with their blocks
+    removed — a prim's attrs may legally appear AFTER a nested child
+    (exporters often emit GeomSubset/material children first), so
+    truncating at the first ``def`` would drop them."""
     prims = []
+    keep = []
     pos = 0
+    cursor = 0
     while True:
         m = _DEF_RE.search(body, pos)
         if m is None:
@@ -97,12 +107,13 @@ def _parse_prims(body: str) -> List[_Prim]:
             continue
         end = _match(body, i, "{", "}")
         inner = body[i + 1:end - 1]
-        children = _parse_prims(inner)
-        # attrs = inner minus child prim blocks
-        attrs = _DEF_RE.split(inner)[0] if children else inner
+        children, attrs = _parse_prims_ex(inner)
         prims.append(_Prim(m.group(2) or "", m.group(3), attrs, children))
+        keep.append(body[cursor:m.start()])
+        cursor = end
         pos = end
-    return prims
+    keep.append(body[cursor:])
+    return prims, "".join(keep)
 
 
 def _read_value(text: str, i: int) -> Tuple[str, int]:
@@ -191,9 +202,20 @@ def _op_matrix(op: str, attrs: Dict[str, str]) -> Optional[np.ndarray]:
         m[:3, 3] = v[:3]
     elif kind == "scale":
         m[0, 0], m[1, 1], m[2, 2] = v[:3]
-    elif kind.startswith("rotateXYZ"):
-        # geometry-order X then Y then Z => R = Rz @ Ry @ Rx
-        m = _rot_axis(2, v[2]) @ _rot_axis(1, v[1]) @ _rot_axis(0, v[0])
+    elif len(kind) == 9 and kind.startswith("rotate") and set(
+        kind[6:]
+    ) == {"X", "Y", "Z"}:
+        # three-axis Euler op rotate<ABC>: value components are per the
+        # NAME's letters and geometry applies A then B then C, so
+        # R = Rc @ Rb @ Ra (e.g. rotateZYX -> Rx @ Ry @ Rz)
+        ax = {"X": 0, "Y": 1, "Z": 2}
+        order = [ax[c] for c in kind[6:]]
+        m = (
+            _rot_axis(order[2], v[2])
+            @ _rot_axis(order[1], v[1])
+            @ _rot_axis(order[0], v[0])
+        )
+    # (the generic branch above also covers rotateXYZ)
     elif kind.startswith("rotateX"):
         m = _rot_axis(0, v[0])
     elif kind.startswith("rotateY"):

@@ -26,15 +26,25 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ):
-    """jax.distributed.initialize wrapper (no-op when single-process).
+    """jax.distributed.initialize wrapper.
 
-    On TPU pods all three arguments auto-detect from the environment."""
+    With explicit arguments, initializes that exact cluster. With NO
+    arguments, defers to jax's own environment auto-detection (TPU pod
+    metadata / cluster env vars) — and stays a no-op on plain
+    single-process hosts where auto-detection finds no cluster."""
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is None and coordinator_address is None:
+        try:
+            # jax auto-detects pods (GCE metadata, SLURM, etc.); raises
+            # RuntimeError when no cluster environment is present
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass                       # single-process: nothing to do
 
 
 def global_mesh(axis: str = _mesh.WORLD_AXIS):

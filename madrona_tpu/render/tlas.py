@@ -109,14 +109,29 @@ def build_tlas(inst_lo, inst_hi, inst_mask, scene_lo, scene_hi) -> TLAS:
     number of passes (log2 I searches, <=64 refit/thread passes)."""
     i_n = inst_lo.shape[0]
     if i_n < 2:
-        # degenerate single-instance tree: root == leaf
-        lo = jnp.where(inst_mask[:, None], inst_lo, BIG)
-        hi = jnp.where(inst_mask[:, None], inst_hi, -BIG)
+        # degenerate 0/1-instance tree: ONE root==leaf node always
+        # exists (zero instances get an inverted never-hit box), so
+        # every TLAS field is consistently length-1 — a size-0 node
+        # array would make tlas_candidates' sentinel walk gather out
+        # of bounds
+        one_mask = (
+            inst_mask[:1] if i_n == 1 else jnp.zeros((1,), bool)
+        )
+        lo = jnp.where(
+            one_mask[:, None],
+            inst_lo[:1] if i_n == 1 else jnp.full((1, 3), BIG),
+            BIG,
+        )
+        hi = jnp.where(
+            one_mask[:, None],
+            inst_hi[:1] if i_n == 1 else jnp.full((1, 3), -BIG),
+            -BIG,
+        )
         return TLAS(
             node_lo=lo, node_hi=hi,
             left=jnp.zeros((1,), jnp.int32),
             skip=jnp.full((1,), 1, jnp.int32),
-            inst=jnp.where(inst_mask, 0, -1).astype(jnp.int32),
+            inst=jnp.where(one_mask, 0, -1).astype(jnp.int32),
             num_leaves=1,
         )
 

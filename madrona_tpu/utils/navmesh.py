@@ -115,14 +115,26 @@ class Navmesh:
 
     def next_hop(self, start_tri, goal_tri):
         """First adjacency step of the shortest start->goal path (the
-        query pattern bfsFromPoly serves in the reference's envs)."""
+        query pattern bfsFromPoly serves in the reference's envs).
+
+        Minimizes edge_weight(start, n) + dist(n, goal) — dist alone
+        would greedily pick a nearer-to-goal neighbor across a long
+        edge and leave the true shortest path. Returns ``start_tri``
+        when already at the goal OR when the goal is unreachable (all
+        candidates infinite) — never a -1 adjacency sentinel."""
         dist_from_goal = self.shortest_dists(goal_tri)
         nbr = self.adjacency[start_tri]
+        w_edge = jnp.linalg.norm(
+            self.centroids[jnp.clip(nbr, 0)]
+            - self.centroids[start_tri][None, :], axis=-1,
+        )
         cand = jnp.where(
-            nbr >= 0, dist_from_goal[jnp.clip(nbr, 0)], jnp.inf
+            nbr >= 0,
+            w_edge + dist_from_goal[jnp.clip(nbr, 0)],
+            jnp.inf,
         )
         best = jnp.argmin(cand)
-        done = start_tri == goal_tri
+        done = (start_tri == goal_tri) | ~jnp.isfinite(cand[best])
         return jnp.where(done, start_tri, nbr[best])
 
 

@@ -119,7 +119,12 @@ def sample_bool(k):
 
 
 def sample_i32_biased(k, a, b):
-    """Integer in [a, b) via u32 mulhi — slightly biased but branch-free.
+    """Integer in [0, b - a) via u32 mulhi — slightly biased, branch-free.
+
+    CAREFUL: despite taking ``a``, the result is NOT shifted by it —
+    the reference's own sampleI32Biased omits the ``+ a`` (its sibling
+    sampleI32 adds it) and we reproduce that bit-for-bit. Use
+    :func:`sample_i32` for a true [a, b) sample.
 
     Reference: rand::sampleI32Biased (include/madrona/rand.inl:161-167).
     This is the variant the TPU path prefers; the unbiased Lemire loop

@@ -280,3 +280,44 @@ def test_usdc_rejected(tmp_path):
         f.write(b"PXR-USDC" + b"\x00" * 64)
     with pytest.raises(ValueError, match="usdc"):
         load_usd(p)
+
+
+def test_usda_non_xyz_euler_and_attrs_after_child(tmp_path):
+    """rotateZYX (and friends) must apply all three axes in name order;
+    prim attributes declared AFTER a nested child prim must survive
+    parsing (exporters often emit GeomSubset children first)."""
+    from madrona_tpu.assets import load_usd
+
+    txt = """#usda 1.0
+def Xform "g"
+{
+    float3 xformOp:rotateZYX = (0, 0, 90)
+    uniform token[] xformOpOrder = ["xformOp:rotateZYX"]
+
+    def Mesh "tri"
+    {
+        def GeomSubset "mat0"
+        {
+            int[] indices = [0]
+        }
+        int[] faceVertexCounts = [3]
+        int[] faceVertexIndices = [0, 1, 2]
+        point3f[] points = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    }
+}
+"""
+    p = os.path.join(tmp_path, "zyx.usda")
+    with open(p, "w") as f:
+        f.write(txt)
+    meshes = load_usd(p)
+    # the mesh's points appear after the GeomSubset child: must import
+    assert len(meshes) == 1
+    m = meshes[0]
+    assert m.positions.shape == (3, 3)
+    # rotateZYX = (0, 0, 90): per pxr, components follow the NAME's
+    # letters (Z-angle first) -> only the X rotation is 90 deg here,
+    # applied first: (0,1,0) -> (0,0,1)
+    got = sorted(np.round(m.positions, 5).tolist())
+    expect = sorted(np.round(np.asarray(
+        [[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32), 5).tolist())
+    assert got == expect, (got, expect)

@@ -218,3 +218,22 @@ def test_adaptive_tlas_k_grows():
     o = sim.step({"action": acts[0], "reset": jnp.zeros((w,), jnp.int32)})
     assert np.isfinite(np.asarray(o["rgb"])).all()
     assert np.asarray(o["tlas_overlap"]).shape == (w, len(env.rsys.camera_rows))
+
+
+def test_build_tlas_zero_instances_safe():
+    """Zero-instance scenes build a consistent 1-node never-hit TLAS
+    (size-0 node arrays would make the candidate walk gather OOB)."""
+    from madrona_tpu.render.tlas import build_tlas, tlas_candidates
+
+    empty = jnp.zeros((0, 3), jnp.float32)
+    t = build_tlas(empty, empty, jnp.zeros((0,), bool),
+                   jnp.zeros((3,)), jnp.ones((3,)))
+    assert t.node_lo.shape[0] == 1 and t.left.shape[0] == 1
+    assert int(np.asarray(t.inst)[0]) == -1
+    cand, n = tlas_candidates(
+        t, jnp.zeros((4, 3), jnp.float32),
+        jnp.tile(jnp.asarray([[0.0, 0, -1.0]]), (4, 1)),
+        4, 100.0,
+    )
+    assert (np.asarray(n) == 0).all()
+    assert (np.asarray(cand) < 0).all()
