@@ -11,6 +11,15 @@ engine's threefry stream for that (world, step).
 ECS shape: one "Cart" archetype row per world (fixed_rows) so the state
 flows through real component tables; Action/Reward/Done/Reset are the
 standard train-interface singletons.
+
+
+Auto-reset convention note: the step on which a world resets counts as
+episode step 1 with reward 1.0 while the physics holds (the in-flight
+action was chosen from the previous episode's terminal observation).
+This mirrors the batched auto-reset convention used throughout the
+package (see hanabi's reset-step hold) and means an episode contains
+499 dynamics transitions within the 500-step cap — bit-parity with the
+NumPy twin oracle is the contract, not step-for-step Gym equivalence.
 """
 
 from __future__ import annotations

@@ -113,14 +113,9 @@ def _make_objects():
     return reg.build(), ids
 
 
-def _yaw_quat(yaw):
-    half = 0.5 * yaw
-    z = jnp.zeros_like(yaw)
-    return jnp.stack([jnp.cos(half), z, z, jnp.sin(half)], axis=-1)
-
-
-def _quat_yaw(q):
-    return 2.0 * jnp.arctan2(q[..., 3], q[..., 0])
+# shared in utils.math3d (both envs use the same yaw-only heading)
+_yaw_quat = m3.quat_yaw_only
+_quat_yaw = m3.yaw_of_quat
 
 
 class EscapeRoom(EnvBase):
@@ -702,22 +697,28 @@ class EscapeRoom(EnvBase):
         )  # [W, A, R]
         dirs = jnp.stack(
             [-jnp.sin(ang), jnp.cos(ang), jnp.zeros_like(ang)], axis=-1
-        ).reshape(w, -1, 3)
+        )                                              # [W, A, R, 3]
         origins = jnp.broadcast_to(
             a_pos[:, :, None, :], (w, N_AGENTS, LIDAR_RAYS, 3)
-        ).reshape(w, -1, 3)
-        def per_world(ip, ir, isc, origins_w, dirs_w):
-            return trace_rays_obb(
-                ip, ir, isc, jnp.ones((N_BODIES - 1,), bool),
-                origins_w, dirs_w, self._lidar_tmax,
-            )
+        )
+        # self-exclusion per agent via the instance mask (the reference
+        # lidarSystem skips the caster entity); instance i = body row
+        # i+1 (the floor plane is row 0 and not a lidar target)
+        self_mask = ~(
+            jnp.arange(1, N_BODIES)[None, :]
+            == (ROW_AGENT0 + jnp.arange(N_AGENTS))[:, None]
+        )                                              # [A, N-1]
 
-        # self-hits are excluded by nudging ray origins to the agent's
-        # surface along the ray (agent half extent ~0.4-0.8)
-        origins = origins + dirs * 0.85
+        def per_world(ip, ir, isc, origins_w, dirs_w):
+            return jax.vmap(
+                lambda m, o, d: trace_rays_obb(
+                    ip, ir, isc, m, o, d, self._lidar_tmax
+                )
+            )(self_mask, origins_w, dirs_w)
+
         depth = jax.vmap(per_world)(
             inst_pos, inst_rot, inst_scale, origins, dirs
-        ).reshape(w, N_AGENTS, LIDAR_RAYS)
+        )                                              # [W, A, R]
         lidar = jnp.minimum(depth / HALL_LEN, 1.0)
 
         # reward: new max-y progress per agent, minus step penalty

@@ -138,6 +138,7 @@ class Hanabi(EnvBase):
         reg.register_singleton("Reward", (), jnp.float32)
         reg.register_singleton("Done", (), jnp.int32)
         reg.register_singleton("Reset", (), jnp.int32)
+        reg.register_singleton("JustReset", (), jnp.int32)
         reg.register_singleton("EpisodeStep", (), jnp.int32)
         reg.register_singleton("Obs", (p, self.obs_dim), jnp.float32)
         reg.register_singleton("LegalMoves", (self.n_actions,), jnp.int32)
@@ -262,12 +263,14 @@ def _reset_system(env: Hanabi, sm, state, node_key):
     s["Score"] = pick("Score", 0)
     s["FinalTurns"] = pick("FinalTurns", -1)
     s["EpisodeStep"] = pick("EpisodeStep", 0)
+    s["JustReset"] = need.astype(jnp.int32)
     return dataclasses.replace(state, singletons=s)
 
 
 def _turn_system(env: Hanabi, sm, state, node_key):
     p, h = env.num_players, env.hand
     s = dict(state.singletons)
+    pre = state.singletons
     w = s["Info"].shape[0]
     widx = jnp.arange(w)
     cur = s["CurPlayer"]
@@ -430,6 +433,17 @@ def _turn_system(env: Hanabi, sm, state, node_key):
     s["Done"] = done.astype(jnp.int32)
     s["Reward"] = reward
     s["EpisodeStep"] = s["EpisodeStep"] + 1
+    # hold on just-reset worlds (the cartpole convention,
+    # cartpole.py:104): the action in flight was chosen from the DEAD
+    # episode's terminal observation, so the fresh deal must be
+    # observed first; reward 0 / done 0 on the held step
+    hold = pre["JustReset"] > 0
+    for key, val in list(s.items()):
+        if val is not pre[key]:
+            sel = hold.reshape((w,) + (1,) * (val.ndim - 1))
+            s[key] = jnp.where(sel, pre[key], val)
+    s["Reward"] = jnp.where(hold, 0.0, s["Reward"])
+    s["Done"] = jnp.where(hold, 0, s["Done"])
     return dataclasses.replace(state, singletons=s)
 
 

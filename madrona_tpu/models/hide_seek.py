@@ -94,14 +94,9 @@ VIS_COS = 0.5           # ±60° seeker facing cone
 RIGID_BODY = papi.RIGID_BODY
 
 
-def _yaw_quat(yaw):
-    half = 0.5 * yaw
-    z = jnp.zeros_like(yaw)
-    return jnp.stack([jnp.cos(half), z, z, jnp.sin(half)], axis=-1)
-
-
-def _quat_yaw(q):
-    return 2.0 * jnp.arctan2(q[..., 3], q[..., 0])
+# shared in utils.math3d (both envs use the same yaw-only heading)
+_yaw_quat = m3.quat_yaw_only
+_quat_yaw = m3.yaw_of_quat
 
 
 def _make_objects():

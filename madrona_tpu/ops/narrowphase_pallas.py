@@ -757,10 +757,14 @@ def _edge_query_s(a, b, e, chunk: int = 3):
     best_planes = tuple(jnp.zeros((pt, tw)) for _ in range(15))
 
     for c0 in range(0, e, chunk):
+        # last chunk may be short (e % chunk != 0): size BOTH sides by
+        # the actual width or the broadcast shapes diverge (A repeats
+        # cw*e combos, B must tile by cw, not chunk)
+        cw = min(chunk, e - c0)
         ca = lambda v: tuple(
-            jnp.repeat(x[:, c0:c0 + chunk], e, axis=1) for x in v
+            jnp.repeat(x[:, c0:c0 + cw], e, axis=1) for x in v
         )
-        cb = lambda v: tuple(jnp.tile(x, (1, chunk, 1)) for x in v)
+        cb = lambda v: tuple(jnp.tile(x, (1, cw, 1)) for x in v)
         ea_p1, ea_p2 = ca(a["edge_p1"]), ca(a["edge_p2"])
         eb_p1, eb_p2 = cb(b["edge_p1"]), cb(b["edge_p2"])
         na1, na2 = ca(a["edge_n1"]), ca(a["edge_n2"])
@@ -777,11 +781,11 @@ def _edge_query_s(a, b, e, chunk: int = 3):
         cr = _vcross(_vsub(ea_p2, ea_p1), _vsub(eb_p2, eb_p1))
         len2 = _vdot(cr, cr)
         em_a = jnp.repeat(
-            a["edges_mask"].astype(jnp.float32)[:, c0:c0 + chunk],
+            a["edges_mask"].astype(jnp.float32)[:, c0:c0 + cw],
             e, axis=1,
         ) > 0.5
         em_b = jnp.tile(
-            b["edges_mask"].astype(jnp.float32), (1, chunk, 1)
+            b["edges_mask"].astype(jnp.float32), (1, cw, 1)
         ) > 0.5
         ok = mink & (len2 > 1e-12) & em_a & em_b
         inv_len = jax.lax.rsqrt(jnp.maximum(len2, 1e-30))

@@ -618,7 +618,7 @@ def make_physics_node(
             def tgs_substep(body, _):
                 body = _tgs.substep(
                     body, lambda b: narrow(b, cands),
-                    om, h, gravity, tcfg,
+                    om, h, gravity, tcfg, jbuf=jbuf,
                 )
                 return body, None
 

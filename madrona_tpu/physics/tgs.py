@@ -174,12 +174,23 @@ def integrate_positions(body: _x.BodyState, h: float):
     )
 
 
-def substep(body, contacts_fn, om, h, gravity, cfg: TGSConfig):
+def substep(body, contacts_fn, om, h, gravity, cfg: TGSConfig,
+            jbuf=None):
     """One TGS substep: integrate vel -> biased solve -> integrate pos ->
-    relax (bias-free) pass."""
+    joint positional pass -> relax (bias-free) pass.
+
+    ``jbuf``: optional joints view — TGS itself is velocity-level, so
+    joints are enforced with the XPBD positional solve after position
+    integration (the reference's TGS is partial and has no joint path;
+    silently dropping registered joints made grabs a no-op under
+    solver='tgs')."""
     body = integrate_velocities(body, om, h, gravity)
     contacts = contacts_fn(body)
     body, _ = solve_contacts_velocity(body, contacts, om, h, cfg, True)
     body = integrate_positions(body, h)
+    if jbuf is not None:
+        from . import joints as _joints
+
+        body = _joints.solve_joints_jacobi(body, jbuf, om)
     body, _ = solve_contacts_velocity(body, contacts, om, h, cfg, False)
     return body

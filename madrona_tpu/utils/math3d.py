@@ -219,3 +219,18 @@ def aabb_ray_hit(box, origin, inv_dir, t_max):
     tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
     hit = (tmin <= tmax) & (tmax >= 0.0) & (tmin <= t_max)
     return hit, jnp.maximum(tmin, 0.0)
+
+def quat_yaw_only(yaw):
+    """Quaternion for a pure rotation about +z (the envs' agent-heading
+    convention)."""
+    half = 0.5 * yaw
+    z = jnp.zeros_like(yaw)
+    return jnp.stack([jnp.cos(half), z, z, jnp.sin(half)], axis=-1)
+
+
+def yaw_of_quat(q):
+    """Heading angle of a yaw-only quaternion (2*atan2(z, w)); for
+    general quaternions this is the twist about +z only when roll and
+    pitch are zero — the envs constrain agents that way."""
+    return 2.0 * jnp.arctan2(q[..., 3], q[..., 0])
+

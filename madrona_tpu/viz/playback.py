@@ -56,7 +56,8 @@ function show() {
   const n = Date.now();
   if (meta.has_cam)
     document.getElementById('cam').src = `/frame.png?t=${t}&w=${world}&n=${n}`;
-  document.getElementById('top').src = `/topdown.png?t=${t}&w=${world}&n=${n}`;
+  if (meta.has_topdown)
+    document.getElementById('top').src = `/topdown.png?t=${t}&w=${world}&n=${n}`;
   for (let v = 0; v < meta.num_views; v++)
     document.getElementById('agent' + v).src =
       `/agent.png?t=${t}&w=${world}&v=${v}&n=${n}`;
@@ -219,7 +220,8 @@ class PlaybackViewer:
             "num_worlds": self.num_worlds,
             "num_views": self.num_views,
             "has_cam": self._frame is not None,
-            "has_topdown": self.pos_key in self.traj,
+            "has_topdown": (self.pos_key in self.traj
+                            and self.scale_key in self.traj),
             "keys": sorted(self.traj.keys()),
         }).encode()
 
@@ -275,7 +277,10 @@ class PlaybackViewer:
                             viewer.frame_png(geti("t"), geti("w")),
                             "image/png",
                         )
-                    elif path == "/topdown.png":
+                    elif path == "/topdown.png" and (
+                        viewer.pos_key in viewer.traj
+                        and viewer.scale_key in viewer.traj
+                    ):
                         body, ctype = (
                             viewer.topdown_png(geti("t"), geti("w")),
                             "image/png",

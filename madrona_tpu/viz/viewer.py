@@ -14,8 +14,10 @@ import zlib
 import numpy as np
 
 
-def save_png(path: str, img: np.ndarray) -> None:
-    """img: [H, W, 3] float [0,1] or uint8."""
+def png_bytes(img: np.ndarray) -> bytes:
+    """Encode [H, W, 3] float [0,1] or uint8 as PNG (dependency-free;
+    the single encoder shared by save_png, the web viewer, and the
+    playback page)."""
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
     h, w, _ = img.shape
@@ -27,11 +29,18 @@ def save_png(path: str, img: np.ndarray) -> None:
         out = struct.pack(">I", len(data)) + tag + data
         return out + struct.pack(">I", zlib.crc32(tag + data))
 
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    """img: [H, W, 3] float [0,1] or uint8."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(img))
 
 
 def render_topdown(

@@ -32,25 +32,9 @@ from .viewer import render_topdown
 
 
 def _png_bytes(img: np.ndarray) -> bytes:
-    import struct
-    import zlib
+    from .viewer import png_bytes
 
-    buf = io.BytesIO()
-
-    if img.dtype != np.uint8:
-        img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
-    h, w, _ = img.shape
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-
-    def chunk(tag, data):
-        out = struct.pack(">I", len(data)) + tag + data
-        return out + struct.pack(">I", zlib.crc32(tag + data))
-
-    buf.write(b"\x89PNG\r\n\x1a\n")
-    buf.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
-    buf.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-    buf.write(chunk(b"IEND", b""))
-    return buf.getvalue()
+    return png_bytes(np.asarray(img))
 
 
 def flycam_quat(yaw: float, pitch: float) -> np.ndarray:

@@ -34,7 +34,7 @@ class OracleHanabi:
 
     def maybe_reset(self):
         if not self.done:
-            return
+            return False
         nk = self._node_key(0)
         u = np.array(
             [np_rng.uniform(np_rng.split_i(nk, np.uint32(i)))
@@ -54,6 +54,7 @@ class OracleHanabi:
         self.score = 0
         self.final_turns = -1
         self.done = False
+        return True
 
     @staticmethod
     def color(c):
@@ -82,7 +83,11 @@ class OracleHanabi:
         return out
 
     def step(self, actions):
-        self.maybe_reset()
+        if self.maybe_reset():
+            # reset-step hold (mirrors the env: the in-flight action was
+            # chosen from the dead episode's terminal obs)
+            self.step_idx += 1
+            return 0.0
         legal = self.legal()
         a = int(actions[self.cur])
         if not legal[a]:
@@ -215,7 +220,7 @@ class OracleHanabiN:
 
     def maybe_reset(self):
         if not self.done:
-            return
+            return False
         nk = self._node_key(0)
         u = np.array(
             [np_rng.uniform(np_rng.split_i(nk, np.uint32(i)))
@@ -236,6 +241,7 @@ class OracleHanabiN:
         self.score = 0
         self.final_turns = -1
         self.done = False
+        return True
 
     color = staticmethod(OracleHanabi.color)
 
@@ -263,7 +269,9 @@ class OracleHanabiN:
         return out
 
     def step(self, actions):
-        self.maybe_reset()
+        if self.maybe_reset():
+            self.step_idx += 1       # reset-step hold (see OracleHanabi)
+            return 0.0
         p, h = self.p, self.h
         legal = self.legal()
         a = int(actions[self.cur])

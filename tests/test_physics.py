@@ -608,3 +608,82 @@ def test_kinematic_on_static_no_nan():
     assert np.isfinite(p).all() and np.isfinite(q).all()
     # the kinematic body stays exactly where it was put
     np.testing.assert_allclose(p[:, 1], [[0, 0, 0.3]] * 2, atol=1e-5)
+
+
+def test_tgs_solves_joints():
+    """solver='tgs' must enforce registered joints (they were silently
+    dropped): a fixed joint between a static anchor and a hanging box
+    keeps the box from falling."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from madrona_tpu.core.registry import ECSRegistry
+    from madrona_tpu.core.state import StateManager
+    from madrona_tpu.graph.builder import TaskGraphBuilder
+    from madrona_tpu.graph.executor import Executor
+    from madrona_tpu.physics import api as phys
+    from madrona_tpu.physics import bodies, joints as jt
+    from madrona_tpu.physics.bodies import ObjectRegistry
+    from madrona_tpu.physics.geo import box_hull
+    from madrona_tpu.physics.xpbd import PhysicsConfig
+
+    w = 2
+    sm = StateManager()
+    reg = ECSRegistry(sm)
+    phys.register_types(reg, max_bodies=2)
+    phys.register_joint_types(reg, max_joints=1)
+    om_r = ObjectRegistry()
+    box = om_r.add_hull(box_hull((0.3, 0.3, 0.3)), mass=1.0)
+    om = om_r.build()
+    b = TaskGraphBuilder(sm, "step")
+    phys.setup_physics_step_tasks(
+        b, om, PhysicsConfig(solver="tgs")
+    )
+    ex = Executor(sm, {"step": b.build()}, num_worlds=w, seed=0,
+                  donate=False)
+
+    state = ex.state
+    t = state.tables["RigidBody"]
+    cols = dict(t.columns)
+    pos = np.zeros((w, 2, 3), np.float32)
+    pos[:, 0] = [0, 0, 5.0]                 # static anchor
+    pos[:, 1] = [0, 0, 4.0]                 # hanging box
+    cols["Position"] = jnp.asarray(pos)
+    rot = np.zeros((w, 2, 4), np.float32)
+    rot[..., 0] = 1
+    cols["Rotation"] = jnp.asarray(rot)
+    cols["Scale"] = jnp.ones((w, 2, 3), jnp.float32)
+    cols["ObjectID"] = jnp.full((w, 2), box, jnp.int32)
+    cols["ResponseType"] = jnp.asarray(np.tile(
+        [bodies.RESPONSE_STATIC, bodies.RESPONSE_DYNAMIC], (w, 1)
+    ).astype(np.int32))
+    tables = dict(state.tables)
+    tables["RigidBody"] = dc.replace(
+        t, columns=cols, num_rows=jnp.full((w,), 2, jnp.int32)
+    )
+    state = dc.replace(state, tables=tables)
+    # fixed joint: anchor bottom to box top, 1 unit apart
+    jb = phys.joints_view(state)
+    jb = dc.replace(
+        jb,
+        e1=jb.e1.at[:, 0].set(0), e2=jb.e2.at[:, 0].set(1),
+        jtype=jb.jtype.at[:, 0].set(jt.JOINT_FIXED),
+        r1=jb.r1.at[:, 0].set(jnp.asarray([0.0, 0, -0.5])),
+        r2=jb.r2.at[:, 0].set(jnp.asarray([0.0, 0, 0.5])),
+        attach_q1=jb.attach_q1.at[:, 0].set(
+            jnp.asarray([1.0, 0, 0, 0])),
+        attach_q2=jb.attach_q2.at[:, 0].set(
+            jnp.asarray([1.0, 0, 0, 0])),
+        active=jb.active.at[:, 0].set(True),
+    )
+    state = phys.write_joints(state, jb)
+    ex.state = state
+
+    for _ in range(30):
+        ex.run(inputs={})
+    p = np.asarray(ex.state.tables["RigidBody"].columns["Position"])
+    assert np.isfinite(p).all()
+    # without the joint the box free-falls ~5m in 1s; with it, it hangs
+    # near z=4 (soft positional solve: allow slack)
+    assert (p[:, 1, 2] > 3.0).all(), p[:, 1]
