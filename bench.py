@@ -68,7 +68,10 @@ def pick_flagship():
     try:
         from madrona_tpu.models.escape_room import EscapeRoom
 
-        return "escape_room", EscapeRoom(), worlds or 1024, 400
+        # world count from a measured sweep on one v5e chip
+        # (2026-08-19, chunk=8): 1024w 451.8k / 2048w 461.4k /
+        # 4096w 449.8k env-steps/s -> 2048 is the peak
+        return "escape_room", EscapeRoom(), worlds or 2048, 400
     except Exception:
         from madrona_tpu.models.cartpole import Cartpole
 
@@ -108,7 +111,11 @@ def main():
     # graph replay per step at ~us launch cost (cuda_exec.cpp:2756).
     import os
 
-    chunk = int(os.environ.get("MADRONA_TPU_BENCH_CHUNK", "1"))
+    # Default chunk=8: the learner-shaped rollout path (a JAX PPO
+    # learner scans the step exactly like this). Measured on one v5e
+    # chip 2026-08-19: per-step dispatch 444.8k vs chunk=8 461.4k
+    # env-steps/s at 2048 worlds. chunk=1 restores per-step dispatch.
+    chunk = int(os.environ.get("MADRONA_TPU_BENCH_CHUNK", "8"))
     step = sim.step_fn()
     state = sim.state
     if chunk > 1:
