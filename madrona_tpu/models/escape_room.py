@@ -147,11 +147,16 @@ class EscapeRoom(EnvBase):
                 "pallas_sublane" if jax.default_backend() != "cpu"
                 else "xla"
             ),
+            # rows 0..12 (floor/walls/separators/doors) are always
+            # RESPONSE_STATIC; only cubes+agents can move — the solver
+            # kernel specializes its gather/scatter to these 8 rows
+            solver_dynamic_range=(ROW_CUBE0, N_BODIES),
         ))
         # measured occupancy over random rollouts: max 3 hull-hull and 8
-        # hull-plane candidates; 12 gives 4x headroom (overflow drops
-        # contacts for a step — soft failure)
-        self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=8, sphere_any=1)
+        # hull-plane candidates; 8 gives 2.6x headroom (overflow drops
+        # contacts for a step — soft failure, surfaced via
+        # Candidates.overflow) and exactly one narrowphase pair tile
+        self.caps = bp.CandidateCaps(hull_hull=8, hull_plane=8, sphere_any=1)
         # lidar scene: walls/doors/cubes/partner as oriented boxes scaled
         # by the body Scale column (rows 1..N-1; the floor plane is not a
         # lidar target, matching the reference's horizontal ring). The
@@ -161,6 +166,9 @@ class EscapeRoom(EnvBase):
         # (box, ray); equivalence vs the mesh tracer is pinned by
         # tests/test_render.py::test_obb_lidar_matches_box_mesh.
         self._lidar_tmax = HALL_LEN * 2.0
+        # TPU: trace in the Pallas lidar kernel (ops/lidar_pallas);
+        # CPU: the XLA path is both faster and the kernel's oracle
+        self._lidar_pallas = jax.default_backend() != "cpu"
 
     @staticmethod
     def random_actions(rs, steps, num_worlds):
@@ -698,27 +706,40 @@ class EscapeRoom(EnvBase):
         dirs = jnp.stack(
             [-jnp.sin(ang), jnp.cos(ang), jnp.zeros_like(ang)], axis=-1
         )                                              # [W, A, R, 3]
-        origins = jnp.broadcast_to(
-            a_pos[:, :, None, :], (w, N_AGENTS, LIDAR_RAYS, 3)
-        )
         # self-exclusion per agent via the instance mask (the reference
         # lidarSystem skips the caster entity); instance i = body row
         # i+1 (the floor plane is row 0 and not a lidar target)
-        self_mask = ~(
-            jnp.arange(1, N_BODIES)[None, :]
-            == (ROW_AGENT0 + jnp.arange(N_AGENTS))[:, None]
+        self_mask_np = ~(
+            np.arange(1, N_BODIES)[None, :]
+            == (ROW_AGENT0 + np.arange(N_AGENTS))[:, None]
         )                                              # [A, N-1]
 
-        def per_world(ip, ir, isc, origins_w, dirs_w):
-            return jax.vmap(
-                lambda m, o, d: trace_rays_obb(
-                    ip, ir, isc, m, o, d, self._lidar_tmax
-                )
-            )(self_mask, origins_w, dirs_w)
+        if self._lidar_pallas:
+            # VMEM-resident Pallas trace (ops/lidar_pallas) — bit-matches
+            # the XLA slab-test path below, without its [W,A,I,R,3]-class
+            # HBM intermediates (measured ~0.45 -> ~0.06 ms/step on v5e)
+            from ..ops.lidar_pallas import lidar_obb
 
-        depth = jax.vmap(per_world)(
-            inst_pos, inst_rot, inst_scale, origins, dirs
-        )                                              # [W, A, R]
+            depth = lidar_obb(
+                inst_pos, inst_rot, inst_scale, self_mask_np,
+                a_pos, dirs, self._lidar_tmax, interpret=False,
+            )
+        else:
+            self_mask = jnp.asarray(self_mask_np)
+            origins = jnp.broadcast_to(
+                a_pos[:, :, None, :], (w, N_AGENTS, LIDAR_RAYS, 3)
+            )
+
+            def per_world(ip, ir, isc, origins_w, dirs_w):
+                return jax.vmap(
+                    lambda m, o, d: trace_rays_obb(
+                        ip, ir, isc, m, o, d, self._lidar_tmax
+                    )
+                )(self_mask, origins_w, dirs_w)
+
+            depth = jax.vmap(per_world)(
+                inst_pos, inst_rot, inst_scale, origins, dirs
+            )                                          # [W, A, R]
         lidar = jnp.minimum(depth / HALL_LEN, 1.0)
 
         # reward: new max-y progress per agent, minus step penalty

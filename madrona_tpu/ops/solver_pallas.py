@@ -287,27 +287,56 @@ def _solve_contact_pl(b1, b2, r1, r2, nrm, mu_s):
     return x1, x2, q1, q2, lam_n
 
 
-def _position_solve(st, pr, masks, con, iters):
-    """solve_positions_jacobi on planes; returns (st, lam_total [C, TW])."""
+def _vaddn(a, b):
+    """a + b where b may be None (no static contribution)."""
+    return a if b is None else tuple(x + y for x, y in zip(a, b))
+
+
+def _side_sub(mask, st, stat):
+    """Per-substep side constants: prev/presolve gathers, hoisted out of
+    the position iterations + velocity solve (set once by _integrate).
+    ``stat`` carries the static-row contributions (see _substep_kernel);
+    static rows' prev/presolve pose equals their constant pose, and their
+    presolve velocity is exactly zero (integrate's moving guard)."""
+    sx = stat["x"] if stat is not None else None
+    sq = stat["q"] if stat is not None else None
+    return dict(
+        prev_x=_vaddn(_gv(mask, st["prev_x"]), sx),
+        prev_q=_vaddn(_gv(mask, st["prev_q"]), sq),
+        psx=_vaddn(_gv(mask, st["psx"]), sx),
+        psq=_vaddn(_gv(mask, st["psq"]), sq),
+        psv=_gv(mask, st["psv"]),
+        psw=_gv(mask, st["psw"]),
+    )
+
+
+def _position_solve(st, pr, masks, con, iters, prm, subs, stats):
+    """solve_positions_jacobi on planes; returns (st, lam_total [C, TW]).
+
+    prm: hoisted per-contact-side params (inv_m/inv_i/mu — constant all
+    step); subs: per-substep side constants (_side_sub); stats: static-
+    row contributions for the changing x/q gathers (None = no split)."""
     m_ref, m_alt = masks
+    prm1, prm2 = prm
+    sub1, sub2 = subs
+    s1, s2 = stats
     nrm, avg, pen, ok = con["nrm"], con["avg"], con["pen"], con["ok"]
     okf = ok.astype(jnp.float32)
     lam_total = jnp.zeros_like(pen)
+    stat_d = pr["static"]
 
     for _ in range(iters):
-        def side(mask):
+        def side(mask, p, sub, s):
             return dict(
-                x=_gv(mask, st["x"]), q=_gv(mask, st["q"]),
-                prev_x=_gv(mask, st["prev_x"]),
-                prev_q=_gv(mask, st["prev_q"]),
-                psx=_gv(mask, st["psx"]), psq=_gv(mask, st["psq"]),
-                inv_m=_gather(mask, pr["inv_m"]),
-                inv_i=_gv(mask, pr["inv_i"]),
-                mu_s=_gather(mask, pr["mu_s"]),
+                x=_vaddn(_gv(mask, st["x"]), None if s is None else s["x"]),
+                q=_vaddn(_gv(mask, st["q"]), None if s is None else s["q"]),
+                prev_x=sub["prev_x"], prev_q=sub["prev_q"],
+                psx=sub["psx"], psq=sub["psq"],
+                inv_m=p["inv_m"], inv_i=p["inv_i"], mu_s=p["mu_s"],
             )
 
-        b1 = side(m_ref)
-        b2 = side(m_alt)
+        b1 = side(m_ref, prm1, sub1, s1)
+        b2 = side(m_alt, prm2, sub2, s2)
         r1, r2 = _local_contacts_pl(
             b1["psq"], b1["psx"], b2["psq"], b2["psx"], avg, pen, nrm
         )
@@ -326,7 +355,14 @@ def _position_solve(st, pr, masks, con, iters):
         )
         x = tuple(st["x"][i] + mean[i] for i in range(3))
         q = _qnormalize(tuple(st["q"][i] + mean[3 + i] for i in range(4)))
-        st = dict(st, x=x, q=q)
+        # static rows are exactly invariant (they receive zero delta; the
+        # guard also skips the quaternion renormalization so a static
+        # body's rotation never drifts — mirrored in the XLA path)
+        st = dict(
+            st,
+            x=_vwhere(stat_d, st["x"], x),
+            q=_vwhere(stat_d, st["q"], q),
+        )
     return st, lam_total
 
 
@@ -384,21 +420,24 @@ def _axis_constraint_pl(q1, q2, a1l, a2l, ii1, ii2):
     return _vwhere(ok, nq1, q1), _vwhere(ok, nq2, q2)
 
 
-def _joint_solve(st, pr, jmasks, jn):
+def _joint_solve(st, pr, jmasks, jn, jprm, jstats):
     """solve_joints_jacobi on planes (joints.py:278-351)."""
     m1, m2 = jmasks
+    jprm1, jprm2 = jprm
+    js1, js2 = jstats
     ok = jn["ok"]
     okf = ok.astype(jnp.float32)
+    stat_d = pr["static"]
 
-    def side(mask):
+    def side(mask, p, s):
         return dict(
-            x=_gv(mask, st["x"]), q=_gv(mask, st["q"]),
-            inv_m=_gather(mask, pr["inv_m"]),
-            inv_i=_gv(mask, pr["inv_i"]),
+            x=_vaddn(_gv(mask, st["x"]), None if s is None else s["x"]),
+            q=_vaddn(_gv(mask, st["q"]), None if s is None else s["q"]),
+            inv_m=p["inv_m"], inv_i=p["inv_i"],
         )
 
-    b1 = side(m1)
-    b2 = side(m2)
+    b1 = side(m1, jprm1, js1)
+    b2 = side(m2, jprm2, js2)
     x1, q1 = b1["x"], b1["q"]
     x2, q2 = b2["x"], b2["q"]
     ii1, ii2 = b1["inv_i"], b2["inv_i"]
@@ -458,7 +497,11 @@ def _joint_solve(st, pr, jmasks, jn):
     )
     x = tuple(st["x"][i] + mean[i] for i in range(3))
     q = _qnormalize(tuple(st["q"][i] + mean[3 + i] for i in range(4)))
-    return dict(st, x=x, q=q)
+    return dict(
+        st,
+        x=_vwhere(stat_d, st["x"], x),
+        q=_vwhere(stat_d, st["q"], q),
+    )
 
 
 def _set_velocities(st, pr, h):
@@ -480,25 +523,30 @@ def _set_velocities(st, pr, h):
 
 
 def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
-                    restitution_threshold):
+                    restitution_threshold, prm, subs, stats):
     """solve_velocities_jacobi on planes."""
     m_ref, m_alt = masks
+    prm1, prm2 = prm
+    sub1, sub2 = subs
+    s1, s2 = stats
     nrm, avg, pen, ok = con["nrm"], con["avg"], con["pen"], con["ok"]
     okf = ok.astype(jnp.float32)
 
-    def side(mask):
+    def side(mask, p, sub, s):
+        sv = None if s is None else s["v"]
+        sw = None if s is None else s["w"]
+        sq = None if s is None else s["q"]
         return dict(
-            q=_gv(mask, st["q"]), v=_gv(mask, st["v"]),
-            w=_gv(mask, st["w"]),
-            psx=_gv(mask, st["psx"]), psq=_gv(mask, st["psq"]),
-            psv=_gv(mask, st["psv"]), psw=_gv(mask, st["psw"]),
-            inv_m=_gather(mask, pr["inv_m"]),
-            inv_i=_gv(mask, pr["inv_i"]),
-            mu_d=_gather(mask, pr["mu_d"]),
+            q=_vaddn(_gv(mask, st["q"]), sq),
+            v=_vaddn(_gv(mask, st["v"]), sv),
+            w=_vaddn(_gv(mask, st["w"]), sw),
+            psx=sub["psx"], psq=sub["psq"],
+            psv=sub["psv"], psw=sub["psw"],
+            inv_m=p["inv_m"], inv_i=p["inv_i"], mu_d=p["mu_d"],
         )
 
-    b1 = side(m_ref)
-    b2 = side(m_alt)
+    b1 = side(m_ref, prm1, sub1, s1)
+    b2 = side(m_alt, prm2, sub2, s2)
     mu_d = 0.5 * (b1["mu_d"] + b2["mu_d"])
 
     r1, r2 = _local_contacts_pl(
@@ -617,7 +665,8 @@ def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
 
 
 def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
-                    restitution, restitution_threshold, loop, *refs):
+                    restitution, restitution_threshold, loop, dyn_range,
+                    *refs):
     n = n_bodies
     if n_joints > 0:
         (state_ref, param_ref, ref_ref, alt_ref, con_ref, pts_ref,
@@ -628,31 +677,82 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
     sp = state_ref[:]                                # [STATE_F, N, TW]
     pp = param_ref[:]                                # [PARAM_F, N, TW]
 
+    # ---- dynamic-row split (solver_dynamic_range): the solve state,
+    # per-iteration gathers, and mean scatters cover only the rows that
+    # can ever move; rows outside [d0, d1) are REQUIRED to be
+    # RESPONSE_STATIC and contribute to contacts through contributions
+    # computed ONCE (their state never changes — exact, since one-hot
+    # gathers sum zeros except the matching row).
+    d0, d1 = dyn_range if dyn_range is not None else (0, n)
+    nd = d1 - d0
+    split = nd < n
+
+    dsl = lambda i: sp[i][d0:d1]
     st = dict(
-        x=(sp[0], sp[1], sp[2]),
-        q=(sp[3], sp[4], sp[5], sp[6]),
-        v=(sp[7], sp[8], sp[9]),
-        w=(sp[10], sp[11], sp[12]),
+        x=(dsl(0), dsl(1), dsl(2)),
+        q=(dsl(3), dsl(4), dsl(5), dsl(6)),
+        v=(dsl(7), dsl(8), dsl(9)),
+        w=(dsl(10), dsl(11), dsl(12)),
     )
+    psl = lambda i: pp[i][d0:d1]
     pr = dict(
-        inv_m=pp[0], inv_i=(pp[1], pp[2], pp[3]),
-        mu_s=pp[4], mu_d=pp[5],
-        dynamic=pp[6] > 0.5, moving=pp[7] > 0.5, static=pp[8] > 0.5,
-        ext_f=(pp[9], pp[10], pp[11]), ext_t=(pp[12], pp[13], pp[14]),
-        active=pp[15] > 0.5,
-        inv_m_raw=pp[16], inv_i_raw=(pp[17], pp[18], pp[19]),
+        inv_m=psl(0), inv_i=(psl(1), psl(2), psl(3)),
+        mu_s=psl(4), mu_d=psl(5),
+        dynamic=psl(6) > 0.5, moving=psl(7) > 0.5, static=psl(8) > 0.5,
+        ext_f=(psl(9), psl(10), psl(11)),
+        ext_t=(psl(12), psl(13), psl(14)),
+        active=psl(15) > 0.5,
+        inv_m_raw=psl(16), inv_i_raw=(psl(17), psl(18), psl(19)),
     )
 
     rows_ref = ref_ref[:]
     rows_alt = alt_ref[:]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
-    m_ref = (iota_n == jnp.clip(rows_ref, 0, n - 1)[:, None, :]).astype(
-        jnp.float32
-    )
-    m_alt = (iota_n == jnp.clip(rows_alt, 0, n - 1)[:, None, :]).astype(
-        jnp.float32
-    )
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (1, nd, 1), 1)
+    mk_dyn = lambda rows: (
+        iota_d == (rows - d0)[:, None, :]
+    ).astype(jnp.float32)
+    m_ref = mk_dyn(rows_ref)
+    m_alt = mk_dyn(rows_alt)
     masks = (m_ref, m_alt)
+
+    # hoisted per-contact params: inv masses / friction never change
+    # during the step, so gather them once over ALL rows (the sentinel
+    # row n matches nothing and yields exact zeros — discarded via ok)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    mk_full = lambda rows: (iota_n == rows[:, None, :]).astype(jnp.float32)
+    full_ref = mk_full(rows_ref)
+    full_alt = mk_full(rows_alt)
+
+    def prm_side(mask):
+        return dict(
+            inv_m=_gather(mask, pp[0]),
+            inv_i=_gv(mask, (pp[1], pp[2], pp[3])),
+            mu_s=_gather(mask, pp[4]),
+            mu_d=_gather(mask, pp[5]),
+        )
+
+    prm = (prm_side(full_ref), prm_side(full_alt))
+
+    # static-row contributions: constant per kernel instance
+    if split:
+        def mk_stat(rows, full):
+            out = ((rows < d0) | (rows >= d1)).astype(jnp.float32)
+            return full * out[:, None, :]
+
+        def stat_side(mask):
+            return dict(
+                x=_gv(mask, (sp[0], sp[1], sp[2])),
+                q=_gv(mask, (sp[3], sp[4], sp[5], sp[6])),
+                v=_gv(mask, (sp[7], sp[8], sp[9])),
+                w=_gv(mask, (sp[10], sp[11], sp[12])),
+            )
+
+        stats = (
+            stat_side(mk_stat(rows_ref, full_ref)),
+            stat_side(mk_stat(rows_alt, full_alt)),
+        )
+    else:
+        stats = (None, None)
 
     cp = con_ref[:]                                  # [CON_F, C, TW]
     num = num_ref[:]                                 # [C, TW] i32
@@ -666,17 +766,23 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
     ptsp = pts_ref[:]                                # [PTS_F, C, TW]
     pts = [ptsp[i] for i in range(PTS_F)]
 
-    jmasks = jn = None
+    jmasks = jn = jprm = jstats = None
     if n_joints > 0:
         je1 = je1_ref[:]
         je2 = je2_ref[:]
-        m_j1 = (iota_n == jnp.clip(je1, 0, n - 1)[:, None, :]).astype(
-            jnp.float32
-        )
-        m_j2 = (iota_n == jnp.clip(je2, 0, n - 1)[:, None, :]).astype(
-            jnp.float32
-        )
+        m_j1 = mk_dyn(je1)
+        m_j2 = mk_dyn(je2)
         jmasks = (m_j1, m_j2)
+        jf1 = mk_full(je1)
+        jf2 = mk_full(je2)
+        jprm = (prm_side(jf1), prm_side(jf2))
+        if split:
+            jstats = (
+                stat_side(mk_stat(je1, jf1)),
+                stat_side(mk_stat(je2, jf2)),
+            )
+        else:
+            jstats = (None, None)
         jp = jnt_ref[:]                              # [JNT_F, J, TW]
         jn = dict(
             r1=(jp[0], jp[1], jp[2]), r2=(jp[3], jp[4], jp[5]),
@@ -691,13 +797,19 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
 
     def substep_once(st):
         st = _integrate(st, pr, h, g)
-        st, lam_n = _position_solve(st, pr, masks, con, iters)
+        subs = (
+            _side_sub(m_ref, st, stats[0]),
+            _side_sub(m_alt, st, stats[1]),
+        )
+        st, lam_n = _position_solve(
+            st, pr, masks, con, iters, prm, subs, stats
+        )
         if n_joints > 0:
-            st = _joint_solve(st, pr, jmasks, jn)
+            st = _joint_solve(st, pr, jmasks, jn, jprm, jstats)
         st = _set_velocities(st, pr, h)
         st = _velocity_solve(
             st, pr, masks, con, pts, lam_n, h, restitution,
-            restitution_threshold,
+            restitution_threshold, prm, subs, stats,
         )
         return st
 
@@ -706,7 +818,7 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
         # ~substeps x smaller instruction stream + scratch liveness.
         # Pre-seed the solver-scratch keys so the carry pytree is
         # stable (the first _integrate overwrites them all).
-        z1 = jnp.zeros_like(sp[0])
+        z1 = jnp.zeros_like(st["x"][0])
         st = dict(
             st,
             prev_x=(z1,) * 3, prev_q=(z1,) * 4,
@@ -725,6 +837,24 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
         + st["prev_x"] + st["prev_q"] + st["psx"] + st["psq"]
         + st["psv"] + st["psw"]
     )
+    if split:
+        # reassemble full rows: static rows are exactly their inputs
+        # (prev/presolve pose = the constant pose; presolve vel = 0,
+        # integrate's moving guard)
+        src = (
+            [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]   # x q v w
+            + [0, 1, 2, 3, 4, 5, 6]                      # prev_x prev_q
+            + [0, 1, 2, 3, 4, 5, 6]                      # psx psq
+            + [None] * 6                                 # psv psw = 0
+        )
+        zfull = jnp.zeros_like(sp[0])
+        full_planes = []
+        for k, dp in enumerate(planes):
+            s = sp[src[k]] if src[k] is not None else zfull
+            # Mosaic rejects zero-size vector segments
+            parts = [p for p in (s[:d0], dp, s[d1:]) if p.shape[0] > 0]
+            full_planes.append(jnp.concatenate(parts, axis=0))
+        planes = tuple(full_planes)
     out_ref[:] = jnp.stack(planes, axis=0)
 
 
@@ -733,18 +863,30 @@ def make_substep_solver(n_bodies, n_contacts, substeps, iters, h, gravity,
                         n_joints: int = 0,
                         tile_w: int = 128, interpret: bool = False,
                         loop: bool = False,
-                        vmem_limit_mb: int = 0):
+                        vmem_limit_mb: int = 0,
+                        dyn_range=None):
     """Build the jitted whole-substep solver.
 
     fn(state_t [STATE_F,N,W], param_t [PARAM_F,N,W], ref_t [C,W] i32,
        alt_t [C,W] i32, con_t [CON_F,C,W], pts_t [PTS_F,C,W],
        num_t [C,W] i32[, je1_t [J,W] i32, je2_t [J,W] i32,
        jnt_t [JNT_F,J,W]]) -> out [OUT_F, N, W]
+
+    dyn_range=(d0, d1): only rows in [d0, d1) can move; every row
+    outside MUST be RESPONSE_STATIC in all worlds at all times (the
+    env's contract — e.g. escape room walls). The solve then runs on
+    the dynamic subset with one-time static contributions: exact, and
+    ~(N/D)x cheaper on the dominant gather/scatter contractions.
     """
+    if dyn_range is not None:
+        d0, d1 = dyn_range
+        if not (0 <= d0 < d1 <= n_bodies):
+            raise ValueError(f"bad dyn_range {dyn_range} for N={n_bodies}")
+        dyn_range = (int(d0), int(d1))
     kern = functools.partial(
         _substep_kernel, n_bodies, n_joints, substeps, iters, float(h),
         tuple(float(x) for x in gravity), float(restitution),
-        float(restitution_threshold), loop,
+        float(restitution_threshold), loop, dyn_range,
     )
 
     def run(state_t, param_t, ref_t, alt_t, con_t, pts_t, num_t,

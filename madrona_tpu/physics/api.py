@@ -438,6 +438,7 @@ def megakernel_substeps(body: BodyState, contacts: Contacts, om, cfg,
         cfg.restitution, cfg.restitution_threshold,
         n_joints=n_joints, tile_w=min(tile_w, w), interpret=interpret,
         loop=cfg.megakernel_loop, vmem_limit_mb=cfg.megakernel_vmem_mb,
+        dyn_range=cfg.solver_dynamic_range,
     )
     out = fn(
         t3(state_t), t3(param_t), t2(contacts.ref), t2(contacts.alt),

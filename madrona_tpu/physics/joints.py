@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..utils import math3d as m3
 from .xpbd import (
+    RESPONSE_STATIC,
     BodyState,
     _apply_positional_update,
     _gather_body,
@@ -346,6 +347,10 @@ def solve_joints_jacobi(body: BodyState, joints: Joints, om,
     mean = _scatter_avg_packed(
         rows2, jnp.concatenate([d1, d2], axis=1), ok2, n
     )
-    pos = body.pos + mean[..., :3]
-    rot = m3.quat_normalize(body.rot + mean[..., 3:7])
+    # static rows are exactly invariant (see solve_positions_jacobi)
+    static = (body.response == RESPONSE_STATIC)[..., None]
+    pos = jnp.where(static, body.pos, body.pos + mean[..., :3])
+    rot = jnp.where(
+        static, body.rot, m3.quat_normalize(body.rot + mean[..., 3:7])
+    )
     return dataclasses.replace(body, pos=pos, rot=rot)

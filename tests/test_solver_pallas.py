@@ -229,6 +229,37 @@ def test_hide_seek_megakernel_pipeline():
             )
 
 
+@pytest.mark.parametrize("with_joints", [False, True])
+def test_megakernel_dyn_range_matches_full(with_joints):
+    """solver_dynamic_range specialization is EXACT: the split kernel
+    (row 0 static outside the range, rows 1..7 solved) must equal the
+    full kernel bitwise — one-hot gathers sum zeros except the matching
+    row, and static rows receive zero delta under the static guard."""
+    rs = np.random.RandomState(7 + with_joints)
+    om = _make_om()
+    body = _rand_state(rs, om)
+    contacts = _rand_contacts(rs)
+    jbuf = _rand_joints(rs) if with_joints else None
+    cfg = PhysicsConfig(substeps=4, jacobi_iters=2, narrowphase_once=True)
+
+    full = jax.jit(
+        lambda b: papi.megakernel_substeps(
+            b, contacts, om, cfg, jbuf=jbuf, interpret=True
+        )
+    )(body)
+    cfg_s = dataclasses.replace(cfg, solver_dynamic_range=(1, N))
+    split = jax.jit(
+        lambda b: papi.megakernel_substeps(
+            b, contacts, om, cfg_s, jbuf=jbuf, interpret=True
+        )
+    )(body)
+    for f in FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(split, f)), np.asarray(getattr(full, f)),
+            err_msg=f,
+        )
+
+
 def test_megakernel_loop_matches_xla_path():
     """megakernel_loop=True (lax.fori_loop substeps): same math/order as
     the unroll, but compiler reassociation + knife-edge friction
