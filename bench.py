@@ -67,11 +67,14 @@ def pick_flagship():
         return "cartpole", Cartpole(), worlds or 16384, 500
     try:
         from madrona_tpu.models.escape_room import EscapeRoom
+        from madrona_tpu.utils.config import load_tuned
 
-        # world count from a measured sweep on one v5e chip
-        # (2026-08-19, chunk=8): 1024w 451.8k / 2048w 461.4k /
-        # 4096w 449.8k env-steps/s -> 2048 is the peak
-        return "escape_room", EscapeRoom(), worlds or 2048, 400
+        # world count from the committed tuning table (measured sweep on
+        # one v5e chip, 2026-08-19, chunk=8: 1024w 451.8k / 2048w 461.4k
+        # / 4096w 449.8k env-steps/s -> 2048 peak); regenerate with
+        # scripts/tune_kernels.py
+        tuned_w = load_tuned("escape_room").get("bench_worlds", 2048)
+        return "escape_room", EscapeRoom(), worlds or tuned_w, 400
     except Exception:
         from madrona_tpu.models.cartpole import Cartpole
 
@@ -115,7 +118,10 @@ def main():
     # learner scans the step exactly like this). Measured on one v5e
     # chip 2026-08-19: per-step dispatch 444.8k vs chunk=8 461.4k
     # env-steps/s at 2048 worlds. chunk=1 restores per-step dispatch.
-    chunk = int(os.environ.get("MADRONA_TPU_BENCH_CHUNK", "8"))
+    from madrona_tpu.utils.config import load_tuned
+
+    tuned_chunk = load_tuned(name).get("bench_chunk", 8)
+    chunk = int(os.environ.get("MADRONA_TPU_BENCH_CHUNK", tuned_chunk))
     step = sim.step_fn()
     state = sim.state
     if chunk > 1:

@@ -129,10 +129,13 @@ class EscapeRoom(EnvBase):
     def __init__(self):
         import jax
 
-        from ..utils.config import env_override
+        from ..utils.config import apply_tuned, env_override
 
         self.om, self.obj = _make_objects()
-        self.cfg = env_override(PhysicsConfig(
+        # knob precedence: constructor defaults below (measured once by
+        # hand) < committed tuning table (scripts/tune_kernels.py, the
+        # reference's cached-launch-config analogue) < MADRONA_TPU_* env
+        self.cfg = env_override(apply_tuned(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, gravity=(0.0, 0.0, -9.8),
             # contacts once per step (Small-Steps style): 1.7x faster,
             # behavior covered by this env's test suite
@@ -151,7 +154,7 @@ class EscapeRoom(EnvBase):
             # RESPONSE_STATIC; only cubes+agents can move — the solver
             # kernel specializes its gather/scatter to these 8 rows
             solver_dynamic_range=(ROW_CUBE0, N_BODIES),
-        ))
+        ), self.name))
         # measured occupancy over random rollouts: max 3 hull-hull and 8
         # hull-plane candidates; 8 gives 2.6x headroom (overflow drops
         # contacts for a step — soft failure, surfaced via

@@ -194,9 +194,9 @@ class HideSeek(EnvBase):
         self.render_tier = render_tier
         import jax
 
-        from ..utils.config import env_override
+        from ..utils.config import apply_tuned, env_override
 
-        self.cfg = env_override(PhysicsConfig(
+        self.cfg = env_override(apply_tuned(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, narrowphase_once=True,
             # whole-substep megakernel + sublane narrowphase kernel on
             # accelerators (see escape_room): 417k -> 535k steps/s at
@@ -206,7 +206,7 @@ class HideSeek(EnvBase):
                 "pallas_sublane" if jax.default_backend() != "cpu"
                 else "xla"
             ),
-        ))
+        ), self.name))
         self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=7, sphere_any=1)
         self.rcfg = RenderConfig(
             width=render_size, height=render_size, fov_deg=90.0,

@@ -37,7 +37,7 @@ from ..physics import bodies, broadphase as bp
 from ..physics.api import RIGID_BODY
 from ..physics.xpbd import PhysicsConfig
 from ..utils import rng as _rng
-from ..utils.config import env_override
+from ..utils.config import apply_tuned, env_override
 from .base import EnvBase
 
 DT = 1.0 / 30.0
@@ -92,11 +92,11 @@ class Pile(EnvBase):
         # measured: k=3 lattice explodes frozen, settles per-substep
         # (matches the reference, which runs narrowphase every substep,
         # xpbd.cpp:1098-1130)
-        self.cfg = env_override(PhysicsConfig(
+        self.cfg = env_override(apply_tuned(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS,
             solver="jacobi", narrowphase_once=False,
             broadphase="swept", broadphase_window=broadphase_window,
-        ))
+        ), self.name))
         # contact budget: a settled pile averages ~3-5 touching
         # neighbours per body + one floor contact each. The sphere
         # tier needs the largest headroom: ~n/3 of the bodies are

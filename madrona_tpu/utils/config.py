@@ -47,6 +47,58 @@ def env_override(cfg: T, prefix: str = PREFIX) -> T:
     return dataclasses.replace(cfg, **updates) if updates else cfg
 
 
+_TUNED_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "tuned_configs.json"
+)
+_tuned_cache = None
+
+
+def load_tuned(env_name: str, backend: str = "") -> dict:
+    """Tuned kernel knobs for (env, backend) from the committed tuning
+    table — the PGO analogue of the reference's per-node block-config
+    cache (``src/mw/cuda_exec.cpp:2115-2203`` records the fastest
+    per-kernel launch config from a profile run and replays it from a
+    file; ``scripts/profile.py`` drives the sweep). Here
+    ``scripts/tune_kernels.py`` sweeps the knobs ON HARDWARE and writes
+    ``madrona_tpu/tuned_configs.json``; this loader replays the winners.
+
+    Returns {} when the table or the (env, backend) row is absent, so
+    the dataclass defaults stand. Keys starting with ``bench_`` are
+    harness-level (world count, scan chunk) and are ignored by
+    :func:`apply_tuned`."""
+    global _tuned_cache
+    import json
+
+    if _tuned_cache is None:
+        try:
+            with open(_TUNED_PATH) as f:
+                _tuned_cache = json.load(f)
+        except (OSError, ValueError):
+            _tuned_cache = {}
+    if not backend:
+        import jax
+
+        backend = jax.default_backend()
+        if backend not in ("cpu",):
+            backend = "tpu"  # axon/tpu-family share the tuned row
+    return dict(_tuned_cache.get(env_name, {}).get(backend, {}))
+
+
+def apply_tuned(cfg: T, env_name: str) -> T:
+    """Overlay the tuned table's kernel knobs onto a config dataclass.
+
+    Precedence (lowest to highest): dataclass defaults -> tuned table ->
+    ``MADRONA_TPU_*`` env vars (call :func:`env_override` after this)."""
+    tuned = load_tuned(env_name)
+    names = {f.name for f in dataclasses.fields(cfg)}
+    updates = {
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in tuned.items()
+        if k in names and not k.startswith("bench_")
+    }
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
 def enable_compile_cache(path: str = "") -> None:
     """Turn on JAX's persistent compilation cache (the TPU analogue of
     the reference's on-disk CUDA kernel cache, MADRONA_MWGPU_KERNEL_CACHE

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Per-kernel tuned-config sweep (the PGO loop).
+
+Runs bench.py as a subprocess across a kernel-knob grid on the CURRENT
+backend, picks the fastest setting per environment, and rewrites
+``madrona_tpu/tuned_configs.json`` — the committed table that
+``utils.config.apply_tuned`` / ``bench.py`` replay at startup.
+
+This is the TPU analogue of the reference's profile-guided launch
+configs: ``src/mw/cuda_exec.cpp:2115-2203`` replays the fastest
+per-kernel block config recorded by a ``scripts/profile.py`` sweep.
+Here the knobs are Pallas tile shapes + harness shape (world count,
+scan chunk) instead of CUDA block dims.
+
+Usage (on hardware, nothing else running on the chip):
+    python scripts/tune_kernels.py [--env escape_room] [--quick]
+"""
+
+import argparse
+import itertools
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+TABLE = os.path.join(REPO, "madrona_tpu", "tuned_configs.json")
+
+# knob grid per env: (config-field knobs, harness knobs). Values chosen
+# around the known-feasible points; Mosaic VMEM cliffs documented in
+# PhysicsConfig make wide grids pointless.
+GRIDS = {
+    "escape_room": {
+        "megakernel_tile": [128, 256],
+        "megakernel_loop": [False, True],
+        "narrowphase_pair_tile": [8],
+        "bench_worlds": [1024, 2048, 4096],
+        "bench_chunk": [8],
+    },
+    "hide_seek": {
+        "megakernel_tile": [128],
+        "narrowphase_pair_tile": [8],
+        "bench_worlds": [8192, 16384],
+        "bench_chunk": [8],
+    },
+}
+
+QUICK_GRIDS = {
+    "escape_room": {
+        "megakernel_tile": [128],
+        "megakernel_loop": [False],
+        "narrowphase_pair_tile": [8],
+        "bench_worlds": [2048],
+        "bench_chunk": [8],
+    },
+}
+
+
+def run_one(env_name, knobs, timeout=900):
+    env = dict(os.environ)
+    env["MADRONA_TPU_BENCH_ENV"] = env_name
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    for k, v in knobs.items():
+        if k == "bench_worlds":
+            env["MADRONA_TPU_BENCH_WORLDS"] = str(v)
+        elif k == "bench_chunk":
+            env["MADRONA_TPU_BENCH_CHUNK"] = str(v)
+        else:
+            env[f"MADRONA_TPU_{k.upper()}"] = (
+                str(int(v)) if isinstance(v, bool) else str(v)
+            )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            try:
+                return json.loads(line)["value"]
+            except (ValueError, KeyError):
+                pass
+    return None
+
+
+def sweep(env_name, grid):
+    keys = list(grid.keys())
+    best, best_rate, rows = None, -1.0, []
+    for combo in itertools.product(*(grid[k] for k in keys)):
+        knobs = dict(zip(keys, combo))
+        rate = run_one(env_name, knobs)
+        rows.append((knobs, rate))
+        tag = " ".join(f"{k}={v}" for k, v in knobs.items())
+        print(f"  {tag}: "
+              f"{'FAIL' if rate is None else f'{rate:,.0f} steps/s'}",
+              flush=True)
+        if rate is not None and rate > best_rate:
+            best, best_rate = knobs, rate
+    return best, best_rate, rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", action="append", default=None)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    backend = jax.default_backend()
+    backend = "cpu" if backend == "cpu" else "tpu"
+    grids = QUICK_GRIDS if args.quick else GRIDS
+    envs = args.env or list(grids.keys())
+
+    table = {}
+    if os.path.exists(TABLE):
+        with open(TABLE) as f:
+            table = json.load(f)
+
+    import datetime
+
+    for env_name in envs:
+        grid = grids.get(env_name)
+        if grid is None:
+            print(f"no grid for {env_name}, skipping")
+            continue
+        print(f"== {env_name} on {backend} ==", flush=True)
+        best, rate, _ = sweep(env_name, grid)
+        if best is None:
+            print(f"  all settings failed; table unchanged")
+            continue
+        table.setdefault(env_name, {})[backend] = best
+        table.setdefault("_meta", {}).update(
+            generated_by="scripts/tune_kernels.py",
+            date=str(datetime.date.today()),
+            device=str(jax.devices()[0]),
+        )
+        print(f"  winner: {best} @ {rate:,.0f} steps/s")
+
+    with open(TABLE, "w") as f:
+        json.dump(table, f, indent=2)
+        f.write("\n")
+    print(f"wrote {TABLE}")
+
+
+if __name__ == "__main__":
+    main()
