@@ -398,7 +398,24 @@ def _fused_kernel(dims, n_bodies, n_obj, n_joints, substeps, iters, h,
     )
     masks = (m_ref, m_alt)
 
-    jmasks = jn = None
+    # hoisted per-contact-side params (round-3 solver signature): inv
+    # masses / friction never change during the step, so gather once.
+    # The fused path runs the solve over ALL rows (no dyn_range static
+    # split), so the static contributions are None; sentinel lanes are
+    # clipped onto row n-1 but every solve application is gated by
+    # con["ok"], so the hoisted values on dead lanes are never used.
+    def _prm_side(mask):
+        return dict(
+            inv_m=spk._gather(mask, pp[0]),
+            inv_i=spk._gv(mask, (pp[1], pp[2], pp[3])),
+            mu_s=spk._gather(mask, pp[4]),
+            mu_d=spk._gather(mask, pp[5]),
+        )
+
+    prm = (_prm_side(m_ref), _prm_side(m_alt))
+    stats = (None, None)
+
+    jmasks = jn = jprm = jstats = None
     if n_joints > 0:
         je1 = je1_ref[:]
         je2 = je2_ref[:]
@@ -409,6 +426,8 @@ def _fused_kernel(dims, n_bodies, n_obj, n_joints, substeps, iters, h,
             jnp.float32
         )
         jmasks = (m_j1, m_j2)
+        jprm = (_prm_side(m_j1), _prm_side(m_j2))
+        jstats = (None, None)
         jp = jnt_ref[:]
         jn = dict(
             r1=(jp[0], jp[1], jp[2]), r2=(jp[3], jp[4], jp[5]),
@@ -423,13 +442,19 @@ def _fused_kernel(dims, n_bodies, n_obj, n_joints, substeps, iters, h,
 
     def substep_once(st):
         st = spk._integrate(st, pr, h, g)
-        st, lam_n = spk._position_solve(st, pr, masks, con, iters)
+        subs = (
+            spk._side_sub(m_ref, st, None),
+            spk._side_sub(m_alt, st, None),
+        )
+        st, lam_n = spk._position_solve(
+            st, pr, masks, con, iters, prm, subs, stats
+        )
         if n_joints > 0:
-            st = spk._joint_solve(st, pr, jmasks, jn)
+            st = spk._joint_solve(st, pr, jmasks, jn, jprm, jstats)
         st = spk._set_velocities(st, pr, h)
         st = spk._velocity_solve(
             st, pr, masks, con, pts, lam_n, h, restitution,
-            restitution_threshold,
+            restitution_threshold, prm, subs, stats,
         )
         return st
 
