@@ -34,13 +34,17 @@ def pick_flagship():
 
     worlds = int(os.environ.get("MADRONA_TPU_BENCH_WORLDS", "0"))
     which = os.environ.get("MADRONA_TPU_BENCH_ENV", "escape_room")
+    # returns (display_name, tuned_table_key, env, num_worlds, steps) —
+    # the table key is the base env name (tuned_configs.json keys by
+    # env, not by the parameterized display string)
     if which == "hide_seek":
         # the reference's engine-scale design point: 16k hide&seek worlds
         # (tracing.hpp:26-28); sim-only, like the reference's headless
         # benchmark binary
         from madrona_tpu.models.hide_seek import HideSeek
 
-        return "hide_seek", HideSeek(pixels=False), worlds or 16384, 200
+        return ("hide_seek", "hide_seek", HideSeek(pixels=False),
+                worlds or 16384, 200)
     if which == "hide_seek_pixels":
         from madrona_tpu.models.hide_seek import HideSeek
 
@@ -49,7 +53,7 @@ def pick_flagship():
         tier = os.environ.get("MADRONA_TPU_BENCH_RENDER_TIER", "dense")
         suffix = "" if tier == "dense" else f"_{tier}"
         return (
-            f"hide_seek_pixels{rs}{suffix}",
+            f"hide_seek_pixels{rs}{suffix}", "hide_seek",
             HideSeek(render_size=rs, tlas_max_instances=k,
                      render_tier=tier),
             worlds or 1024, 100,
@@ -60,11 +64,11 @@ def pick_flagship():
         from madrona_tpu.models.pile import Pile
 
         nb = int(os.environ.get("MADRONA_TPU_BENCH_PILE_BODIES", "256"))
-        return f"pile{nb}", Pile(num_bodies=nb), worlds or 64, 100
+        return f"pile{nb}", "pile", Pile(num_bodies=nb), worlds or 64, 100
     if which == "cartpole":
         from madrona_tpu.models.cartpole import Cartpole
 
-        return "cartpole", Cartpole(), worlds or 16384, 500
+        return "cartpole", "cartpole", Cartpole(), worlds or 16384, 500
     try:
         from madrona_tpu.models.escape_room import EscapeRoom
         from madrona_tpu.utils.config import load_tuned
@@ -74,17 +78,18 @@ def pick_flagship():
         # / 4096w 449.8k env-steps/s -> 2048 peak); regenerate with
         # scripts/tune_kernels.py
         tuned_w = load_tuned("escape_room").get("bench_worlds", 2048)
-        return "escape_room", EscapeRoom(), worlds or tuned_w, 400
+        return ("escape_room", "escape_room", EscapeRoom(),
+                worlds or tuned_w, 400)
     except Exception:
         from madrona_tpu.models.cartpole import Cartpole
 
-        return "cartpole", Cartpole(), 16384, 500
+        return "cartpole", "cartpole", Cartpole(), 16384, 500
 
 
 def main():
     from madrona_tpu.models.base import make_sim, rollout
 
-    name, env, num_worlds, steps = pick_flagship()
+    name, table_key, env, num_worlds, steps = pick_flagship()
     sim = make_sim(env, num_worlds=num_worlds, seed=0)
 
     rs = np.random.RandomState(0)
@@ -120,7 +125,7 @@ def main():
     # env-steps/s at 2048 worlds. chunk=1 restores per-step dispatch.
     from madrona_tpu.utils.config import load_tuned
 
-    tuned_chunk = load_tuned(name).get("bench_chunk", 8)
+    tuned_chunk = load_tuned(table_key).get("bench_chunk", 8)
     chunk = int(os.environ.get("MADRONA_TPU_BENCH_CHUNK", tuned_chunk))
     step = sim.step_fn()
     state = sim.state

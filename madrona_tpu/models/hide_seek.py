@@ -196,6 +196,11 @@ class HideSeek(EnvBase):
 
         from ..utils.config import apply_tuned, env_override
 
+        # NOTE: the tuned row is keyed by the base env name and was
+        # measured sim-only (pixels=False); pixels/render-tier variants
+        # inherit it — the PHYSICS kernel knobs it carries are
+        # render-independent (the renderer's own knobs live in rcfg and
+        # are swept separately by scripts/bench_matrix.py)
         self.cfg = env_override(apply_tuned(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, narrowphase_once=True,
             # whole-substep megakernel + sublane narrowphase kernel on

@@ -79,9 +79,20 @@ def load_tuned(env_name: str, backend: str = "") -> dict:
         import jax
 
         backend = jax.default_backend()
-        if backend not in ("cpu",):
-            backend = "tpu"  # axon/tpu-family share the tuned row
-    return dict(_tuned_cache.get(env_name, {}).get(backend, {}))
+        # axon (the tunnel alias) and tpu share the hardware-measured
+        # row; any OTHER accelerator (e.g. cuda) gets {} so dataclass
+        # defaults stand — TPU-tuned Pallas tiles were never profiled
+        # there
+        if backend in ("tpu", "axon"):
+            backend = "tpu"
+        elif backend != "cpu":
+            return {}
+    row = _tuned_cache.get(env_name, {}).get(backend, {})
+    # lists -> tuples so the returned dict shares nothing mutable with
+    # the module cache (apply_tuned needs tuples anyway)
+    return {
+        k: (tuple(v) if isinstance(v, list) else v) for k, v in row.items()
+    }
 
 
 def apply_tuned(cfg: T, env_name: str) -> T:

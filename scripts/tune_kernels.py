@@ -86,17 +86,50 @@ def run_one(env_name, knobs, timeout=900):
     return None
 
 
+# harness-level knobs (world count / scan chunk) vs kernel knobs: a
+# kernel tile that wins only at one world count must not be committed
+# as unconditional, so the sweep is two-stage
+BENCH_KEYS = ("bench_worlds", "bench_chunk")
+
+
 def sweep(env_name, grid):
-    keys = list(grid.keys())
-    best, best_rate, rows = None, -1.0, []
-    for combo in itertools.product(*(grid[k] for k in keys)):
-        knobs = dict(zip(keys, combo))
+    """Two-stage sweep: (1) kernel knobs at one fixed bench point (the
+    grid's first world count/chunk), (2) bench knobs with the stage-1
+    kernel winners held fixed. Returns (best, rate, rows) where rows is
+    the full per-combo record for the committed sweep artifact."""
+    kernel_grid = {k: v for k, v in grid.items() if k not in BENCH_KEYS}
+    bench_grid = {k: v for k, v in grid.items() if k in BENCH_KEYS}
+    fixed_bench = {k: v[0] for k, v in bench_grid.items()}
+    rows = []
+
+    def measure(knobs):
         rate = run_one(env_name, knobs)
-        rows.append((knobs, rate))
+        rows.append({"knobs": dict(knobs), "rate": rate})
         tag = " ".join(f"{k}={v}" for k, v in knobs.items())
         print(f"  {tag}: "
               f"{'FAIL' if rate is None else f'{rate:,.0f} steps/s'}",
               flush=True)
+        return rate
+
+    kkeys = list(kernel_grid.keys())
+    kbest, kbest_rate = None, -1.0
+    for combo in itertools.product(*(kernel_grid[k] for k in kkeys)):
+        knobs = dict(fixed_bench, **dict(zip(kkeys, combo)))
+        rate = measure(knobs)
+        if rate is not None and rate > kbest_rate:
+            kbest, kbest_rate = knobs, rate
+    if kbest is None:
+        return None, -1.0, rows
+
+    kernel_winner = {k: v for k, v in kbest.items() if k not in BENCH_KEYS}
+    best, best_rate = kbest, kbest_rate
+    bkeys = list(bench_grid.keys())
+    for combo in itertools.product(*(bench_grid[k] for k in bkeys)):
+        bench = dict(zip(bkeys, combo))
+        if bench == fixed_bench:
+            continue                     # already measured in stage 1
+        knobs = dict(kernel_winner, **bench)
+        rate = measure(knobs)
         if rate is not None and rate > best_rate:
             best, best_rate = knobs, rate
     return best, best_rate, rows
@@ -122,13 +155,20 @@ def main():
 
     import datetime
 
+    sweep_path = TABLE.replace(".json", "_sweep.json")
+    sweep_record = {}
+    if os.path.exists(sweep_path):
+        with open(sweep_path) as f:
+            sweep_record = json.load(f)
+
     for env_name in envs:
         grid = grids.get(env_name)
         if grid is None:
             print(f"no grid for {env_name}, skipping")
             continue
         print(f"== {env_name} on {backend} ==", flush=True)
-        best, rate, _ = sweep(env_name, grid)
+        best, rate, rows = sweep(env_name, grid)
+        sweep_record.setdefault(env_name, {})[backend] = rows
         if best is None:
             print(f"  all settings failed; table unchanged")
             continue
@@ -143,7 +183,12 @@ def main():
     with open(TABLE, "w") as f:
         json.dump(table, f, indent=2)
         f.write("\n")
-    print(f"wrote {TABLE}")
+    # full per-combo record alongside the table (auditability: every
+    # committed winner traces to its measured alternatives)
+    with open(sweep_path, "w") as f:
+        json.dump(sweep_record, f, indent=2)
+        f.write("\n")
+    print(f"wrote {TABLE} and {sweep_path}")
 
 
 if __name__ == "__main__":
