@@ -209,3 +209,52 @@ def test_flat_obs_concatenates_fields(sim):
         axis=-1,
     )
     np.testing.assert_array_equal(flat, parts)
+
+
+def test_candidate_caps_never_overflow_long_rollout():
+    """Regression guard for the tightened candidate caps (hull_hull=8).
+
+    Candidate-buffer saturation silently drops contacts for a step (the
+    Candidates.overflow soft-failure contract), so the shipped caps must
+    hold over a long seeded random-action rollout spanning multiple
+    episodes (auto-reset regenerates levels at step 200). Measures TRUE
+    occupancy with oversized caps and asserts every step fits the
+    shipped caps — a future cap/behavior change that would overflow
+    fails here instead of corrupting physics."""
+    from madrona_tpu.physics import api as papi
+    from madrona_tpu.physics import broadphase as bp
+
+    worlds, steps = 16, 500
+    env = EscapeRoom()
+    sim = make_sim(env, num_worlds=worlds, seed=123, donate=False)
+    step = sim.step_fn()
+    shipped = env.caps
+    big = bp.CandidateCaps(hull_hull=64, hull_plane=64, sphere_any=8)
+
+    @jax.jit
+    def occupancy(state):
+        body = papi.body_state(sim.executor.sm, state)
+        cands = bp.find_candidates(body, env.om, big, env.cfg.dt)
+        return cands.hh_num, cands.hp_num, cands.sp_num, cands.overflow
+
+    rs = np.random.RandomState(42)
+    acts = env.random_actions(rs, steps, worlds)
+    state = sim.state
+    max_hh = max_hp = max_sp = 0
+    for t in range(steps):
+        hh, hp, sp, ovf = jax.device_get(occupancy(state))
+        max_hh = max(max_hh, int(hh.max()))
+        max_hp = max(max_hp, int(hp.max()))
+        max_sp = max(max_sp, int(sp.max()))
+        assert not ovf.any()
+        assert int(hh.max()) <= shipped.hull_hull, (t, int(hh.max()))
+        assert int(hp.max()) <= shipped.hull_plane, (t, int(hp.max()))
+        assert int(sp.max()) <= shipped.sphere_any, (t, int(sp.max()))
+        state, _ = step(state, {
+            "action": acts[t],
+            "reset": jnp.zeros((worlds,), jnp.int32),
+        })
+    # occupancy provenance for future cap tuning (visible with -s)
+    print(f"max occupancy over {steps} steps x {worlds} worlds: "
+          f"hh={max_hh}/{shipped.hull_hull} hp={max_hp}/{shipped.hull_plane} "
+          f"sp={max_sp}/{shipped.sphere_any}")
