@@ -150,6 +150,12 @@ class EscapeRoom(EnvBase):
                 "pallas_sublane" if jax.default_backend() != "cpu"
                 else "xla"
             ),
+            # VMEM-resident all-pairs broadphase + compaction kernel
+            # (bit-identical candidates; kills the [W, 210]-pair XLA
+            # intermediates that profiled at ~0.4 ms/step at 2048 worlds)
+            broadphase=(
+                "pallas" if jax.default_backend() != "cpu" else "all_pairs"
+            ),
             # rows 0..12 (floor/walls/separators/doors) are always
             # RESPONSE_STATIC; only cubes+agents can move — the solver
             # kernel specializes its gather/scatter to these 8 rows
@@ -159,7 +165,11 @@ class EscapeRoom(EnvBase):
         # hull-plane candidates; 8 gives 2.6x headroom (overflow drops
         # contacts for a step — soft failure, surfaced via
         # Candidates.overflow) and exactly one narrowphase pair tile
-        self.caps = bp.CandidateCaps(hull_hull=8, hull_plane=8, sphere_any=1)
+        # sphere_any=0: this env has NO sphere prims, so the sphere lane
+        # is disabled entirely — the contact buffer becomes C=16 (8 hh +
+        # 8 hp), exactly two 8-sublane vregs per contact plane in the
+        # solver kernel instead of three at C=17 (measured win on v5e)
+        self.caps = bp.CandidateCaps(hull_hull=8, hull_plane=8, sphere_any=0)
         # lidar scene: walls/doors/cubes/partner as oriented boxes scaled
         # by the body Scale column (rows 1..N-1; the floor plane is not a
         # lidar target, matching the reference's horizontal ring). The

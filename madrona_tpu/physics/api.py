@@ -327,11 +327,22 @@ def _narrowphase_all(
     blk_b, _, _ = pair_blocks(cands.hp[..., 1])
     hp = vv(hp_lane)(blk_a, hrow_a, blk_b, cands.hp)
 
-    blk_a, _, rad_a = pair_blocks(cands.sp[..., 0])
-    blk_b, hrow_b, rad_b = pair_blocks(cands.sp[..., 1])
-    sp = vv(sp_lane)(
-        blk_a, rad_a, blk_b, hrow_b, rad_b, cands.sp, cands.sp_kind
-    )
+    if cands.sp.shape[1] == 0:
+        # sphere tier disabled (CandidateCaps.sphere_any == 0 — envs
+        # with no sphere prims skip the whole lane; keeps the contact
+        # buffer C a clean multiple of the 8-sublane vreg height)
+        sp = (
+            jnp.zeros((w, 0), jnp.int32), jnp.zeros((w, 0), jnp.int32),
+            jnp.zeros((w, 0, 4, 4), jnp.float32),
+            jnp.zeros((w, 0), jnp.int32),
+            jnp.zeros((w, 0, 3), jnp.float32),
+        )
+    else:
+        blk_a, _, rad_a = pair_blocks(cands.sp[..., 0])
+        blk_b, hrow_b, rad_b = pair_blocks(cands.sp[..., 1])
+        sp = vv(sp_lane)(
+            blk_a, rad_a, blk_b, hrow_b, rad_b, cands.sp, cands.sp_kind
+        )
 
     cat = lambda i: jnp.concatenate([hh[i], hp[i], sp[i]], axis=1)
     return Contacts(
@@ -524,6 +535,15 @@ def megakernel_fused_step(body: BodyState, cands: bp.Candidates, om, cfg,
             axis=-1,
         )
         jargs = (t2(jbuf.e1), t2(jbuf.e2), t3(jnt_t))
+    cands_sp = cands.sp
+    cands_sp_kind = cands.sp_kind
+    if cands_sp.shape[1] == 0:
+        # sphere tier disabled (CandidateCaps.sphere_any == 0): Mosaic
+        # rejects zero-height tiles, so feed ONE all-sentinel sp lane —
+        # rows_s == n makes valid_pair false everywhere, yielding an
+        # always-dead contact slot (exact)
+        cands_sp = jnp.full((w, 1, 2), n, jnp.int32)
+        cands_sp_kind = jnp.full((w, 1), geo.TYPE_NONE, jnp.int32)
     fn = fpk.make_fused_step(
         om.hull_dims, n, n_obj, cfg.substeps, cfg.jacobi_iters, h,
         cfg.gravity, cfg.restitution, cfg.restitution_threshold,
@@ -537,7 +557,7 @@ def megakernel_fused_step(body: BodyState, cands: bp.Candidates, om, cfg,
         t2(body.obj_id.astype(jnp.float32)),
         t2(cands.hh[..., 0]), t2(cands.hh[..., 1]),
         t2(cands.hp[..., 0]), t2(cands.hp[..., 1]),
-        t2(cands.sp[..., 0]), t2(cands.sp[..., 1]), t2(cands.sp_kind),
+        t2(cands_sp[..., 0]), t2(cands_sp[..., 1]), t2(cands_sp_kind),
         om.hull_pack_planar, *jargs,
     )
     out = jnp.transpose(out, (2, 1, 0))               # [W, N, OUT_F]
@@ -585,6 +605,8 @@ def make_physics_node(
             cands = bp.find_candidates_swept(
                 body, om, caps, cfg.dt, window=cfg.broadphase_window
             )
+        elif cfg.broadphase == "pallas":
+            cands = bp.find_candidates_pallas(body, om, caps, cfg.dt)
         else:
             cands = bp.find_candidates(body, om, caps, cfg.dt)
         # surface the swept tier's window-saturation flag (the analogue

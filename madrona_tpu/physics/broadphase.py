@@ -334,3 +334,58 @@ def find_candidates_swept(
     return _typed_compact(
         first, second, hit, ptype, n, caps, overflow=overflow
     )
+
+
+def find_candidates_pallas(
+    body: BodyState, om, caps: CandidateCaps, expansion_dt: float,
+    tile_w: int = 128, interpret=None,
+) -> Candidates:
+    """All-pairs tier on the Pallas broadphase kernel
+    (ops/broadphase_pallas): bit-identical Candidates to
+    :func:`find_candidates`, computed in VMEM with the compaction done
+    in-kernel — no [W, P]-class pair intermediates in HBM."""
+    from ..ops import broadphase_pallas as bpk
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    w, n = body.pos.shape[:2]
+    params = om.obj_params(body.obj_id)
+    static = body.response == RESPONSE_STATIC
+    f32c = lambda b: b.astype(jnp.float32)[..., None]
+    pack = jnp.concatenate(
+        [
+            body.pos, body.rot, body.scale, body.vel,
+            params["aabb_min"], params["aabb_max"],
+            f32c(params["prim_type"]), f32c(body.active), f32c(static),
+        ],
+        axis=-1,
+    )                                                  # [W, N, BPF]
+    bp_t = jnp.transpose(pack, (2, 1, 0))
+    fn = bpk.make_broadphase(
+        n, caps.hull_hull, caps.hull_plane, caps.sphere_any,
+        expansion_dt, tile_w=min(tile_w, w), interpret=interpret,
+    )
+    out = fn(bp_t)                                     # [R, W]
+
+    off = [0]
+
+    def take(k):
+        r = out[off[0]:off[0] + k]
+        off[0] += k
+        return r
+
+    ch, cp, cs = caps.hull_hull, caps.hull_plane, caps.sphere_any
+    hh_a, hh_b = take(ch), take(ch)
+    hp_h, hp_p = take(cp), take(cp)
+    sp_s, sp_o, sp_k = take(cs), take(cs), take(cs)
+    nums = take(3)
+    ovf = take(1)
+    t = lambda x: jnp.transpose(x, (1, 0))
+    pair = lambda a, b: jnp.stack([t(a), t(b)], axis=-1).astype(jnp.int32)
+    return Candidates(
+        hh=pair(hh_a, hh_b), hh_num=t(nums)[:, 0].astype(jnp.int32),
+        hp=pair(hp_h, hp_p), hp_num=t(nums)[:, 1].astype(jnp.int32),
+        sp=pair(sp_s, sp_o), sp_num=t(nums)[:, 2].astype(jnp.int32),
+        sp_kind=t(sp_k).astype(jnp.int32),
+        overflow=t(ovf)[:, 0] > 0.5,
+    )

@@ -103,6 +103,10 @@ class PhysicsConfig:
     fused_pair_chunk: int = 0
     # "all_pairs": O(n²) masked upper-triangle (exact, best for the
     #   example envs' tens of bodies — SURVEY §7 "masked pairs first").
+    # "pallas": the same all-pairs tier computed in one VMEM-resident
+    #   Pallas kernel (ops/broadphase_pallas) — bit-identical
+    #   Candidates, no [W, P]-class HBM intermediates; only for
+    #   all-pairs-scale body counts (the [N, N] grid must fit VMEM).
     # "swept": sort-by-x sweep-and-prune, O(N log N + N·window), the
     #   many-body tier (reference: the per-world AABB tree,
     #   broadphase.cpp:487-1027). Exact while no world saturates the
