@@ -144,10 +144,11 @@ class EscapeRoom(EnvBase):
             # steps/s on one v5e chip; on CPU backends the XLA path is
             # the fast one (interpret-mode pallas is for parity tests)
             megakernel=jax.default_backend() != "cpu",
-            # pairs-in-sublanes Pallas hull-hull narrowphase: 396k ->
-            # 455.7k steps/s (with bf16 lidar); bit-matches the XLA lane
+            # contacts megakernel: hh SAT + hull-plane lane + avg/max-pen
+            # assembly in ONE kernel emitting the solver's planar buffers
+            # (supersedes the round-3 pallas_sublane tier + XLA hp lane)
             narrowphase=(
-                "pallas_sublane" if jax.default_backend() != "cpu"
+                "pallas_mega" if jax.default_backend() != "cpu"
                 else "xla"
             ),
             # VMEM-resident all-pairs broadphase + compaction kernel

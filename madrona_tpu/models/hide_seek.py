@@ -207,12 +207,26 @@ class HideSeek(EnvBase):
             # accelerators (see escape_room): 417k -> 535k steps/s at
             # 2048 worlds on one v5e chip
             megakernel=jax.default_backend() != "cpu",
+            # contacts megakernel (see escape_room): narrowphase + the
+            # contact assembly in one kernel, planar outputs
             narrowphase=(
-                "pallas_sublane" if jax.default_backend() != "cpu"
+                "pallas_mega" if jax.default_backend() != "cpu"
                 else "xla"
             ),
+            # VMEM-resident all-pairs broadphase kernel (bit-identical
+            # candidates; see escape_room)
+            broadphase=(
+                "pallas" if jax.default_backend() != "cpu" else "all_pairs"
+            ),
         ), self.name))
-        self.caps = bp.CandidateCaps(hull_hull=12, hull_plane=7, sphere_any=1)
+        # hp cap = 9 == the env's dynamic-body count (3 boxes + 2 ramps
+        # + 4 agents): every dynamic near the floor is an hp candidate,
+        # so 9 is the exact demand ceiling — the old cap of 7 could
+        # silently drop floor contacts (measured max occupancy 9 over a
+        # 400-step random rollout; hh max 3). sphere_any=0: no sphere
+        # prims. Total C = 7 + 9 = 16 = two 8-sublane vregs per contact
+        # plane in the solver kernel (see escape_room).
+        self.caps = bp.CandidateCaps(hull_hull=7, hull_plane=9, sphere_any=0)
         self.rcfg = RenderConfig(
             width=render_size, height=render_size, fov_deg=90.0,
             t_max=4 * ARENA, dtype="bfloat16",

@@ -550,3 +550,142 @@ def make_fused_step(dims, n_bodies, n_obj, substeps, iters, h, gravity,
         )(*args)
 
     return run
+
+
+# --------------------------------------------------- contacts megakernel
+
+
+def _contacts_kernel(dims, n, n_obj, hh_a_ref, hh_b_ref, hp_h_ref,
+                     hp_p_ref, nb_ref, obj_ref, pack_ref,
+                     ref_out, alt_out, con_out, pts_out, num_out):
+    """Narrowphase (hh SAT + hull-plane lane) + contact reduction in one
+    kernel, emitting the solver megakernel's planar inputs directly.
+
+    Replaces the split path's XLA tail (hp one-hot pair gathers,
+    xpbd._avg_contacts_batch, the [W, C, 22]-class concats and the
+    W-major<->planar transposes) — the narrowphase record never leaves
+    VMEM in W-major form. Math identical to the split path: hh via
+    npk.hh_sat_planes (the proven sublane kernel), hp via _hp_contacts
+    (plane-form port of physics/narrowphase.py hull_plane_contact), and
+    the same avg/max-pen reduction the fused kernel runs (bit parity
+    with xpbd._avg_contacts_batch)."""
+    nb3 = nb_ref[:]                                   # [N, 10, TW]
+    obj = obj_ref[:]                                  # [N, TW]
+    pack = pack_ref[:]
+
+    hh = npk.hh_sat_planes(
+        dims, n, n_obj, hh_a_ref[:], hh_b_ref[:], nb3, obj, pack
+    )
+    comps = tuple(nb3[:, i] for i in range(10))
+    hp = _hp_contacts(
+        dims, n, n_obj, hp_h_ref[:], hp_p_ref[:], comps, obj, pack
+    )
+
+    def cat(key):
+        vals = [p[key] for p in (hh, hp)]
+        if isinstance(vals[0], tuple):
+            return tuple(
+                jnp.concatenate([v[i] for v in vals], axis=0)
+                for i in range(len(vals[0]))
+            )
+        return jnp.concatenate(vals, axis=0)
+
+    ref = cat("ref")                                  # [C, TW] f32
+    alt = cat("alt")
+    num = cat("num").astype(jnp.int32)
+    nrm = cat("nrm")                                  # 3 x [C, TW]
+    px = cat("px")                                    # [C, 4, TW]
+    py = cat("py")
+    pz = cat("pz")
+    pd = cat("pd")
+
+    # avg contact + max penetration (same op order as the fused kernel
+    # == xpbd._avg_contacts_batch)
+    pd_k = [pd[:, k] for k in range(4)]
+    live = [jnp.asarray(k, jnp.int32) < num for k in range(4)]
+    wgt = [jnp.where(live[k], pd_k[k], 0.0) for k in range(4)]
+    total = wgt[0] + wgt[1] + wgt[2] + wgt[3]
+    zero = total == 0.0
+    inv_tot = 1.0 / jnp.where(zero, 1.0, total)
+    avg = tuple(
+        sum((wgt[k] * inv_tot) * comp[:, k] for k in range(4))
+        for comp in (px, py, pz)
+    )
+    max_pen = jnp.maximum(
+        jnp.maximum(
+            jnp.where(live[0], pd_k[0], NEG_BIG),
+            jnp.where(live[1], pd_k[1], NEG_BIG),
+        ),
+        jnp.maximum(
+            jnp.where(live[2], pd_k[2], NEG_BIG),
+            jnp.where(live[3], pd_k[3], NEG_BIG),
+        ),
+    )
+    ok = ((num > 0) & (~zero)).astype(jnp.float32)
+
+    ref_out[:] = ref
+    alt_out[:] = alt
+    num_out[:] = num
+    con_out[:] = jnp.stack(
+        [nrm[0], nrm[1], nrm[2], avg[0], avg[1], avg[2], max_pen, ok],
+        axis=0,
+    )                                                 # [CON_F, C, TW]
+    pts_rows = []
+    for k in range(4):
+        pts_rows += [px[:, k], py[:, k], pz[:, k], pd_k[k]]
+    pts_out[:] = jnp.stack(pts_rows, axis=0)          # [PTS_F, C, TW]
+
+
+def make_contacts_kernel(dims, n_bodies, n_obj, tile_w: int = 128,
+                         interpret: bool = False, vmem_limit_mb: int = 0):
+    """Build the narrowphase+assembly kernel.
+
+    fn(hh_a [PH, W] i32, hh_b, hp_h [PP, W] i32, hp_p,
+       nb_t [N, 10, W] f32 (pos|rot|scale at PREDICTED poses),
+       obj_t [N, W] f32, pack [O, K])
+    -> (ref [C, W] f32, alt [C, W] f32, con [CON_F, C, W],
+        pts [PTS_F, C, W], num [C, W] i32)   with C = PH + PP,
+    exactly the planar inputs of ops/solver_pallas.make_substep_solver.
+    """
+    kern = functools.partial(_contacts_kernel, dims, n_bodies, n_obj)
+
+    def run(hh_a, hh_b, hp_h, hp_p, nb_t, obj_t, pack):
+        n, _, w = nb_t.shape
+        ph = hh_a.shape[0]
+        pp = hp_h.shape[0]
+        c = ph + pp
+        tw = min(tile_w, w)
+        grid = (pl.cdiv(w, tw),)
+        wspec = lambda lead: pl.BlockSpec(
+            lead + (tw,), (lambda wi: (0,) * len(lead) + (wi,)),
+            memory_space=pltpu.VMEM,
+        )
+        extra = {}
+        if vmem_limit_mb and not interpret:
+            extra["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+            )
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                wspec((ph,)), wspec((ph,)), wspec((pp,)), wspec((pp,)),
+                wspec((n, 10)), wspec((n,)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                wspec((c,)), wspec((c,)), wspec((spk.CON_F, c)),
+                wspec((spk.PTS_F, c)), wspec((c,)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((c, w), jnp.float32),
+                jax.ShapeDtypeStruct((c, w), jnp.float32),
+                jax.ShapeDtypeStruct((spk.CON_F, c, w), jnp.float32),
+                jax.ShapeDtypeStruct((spk.PTS_F, c, w), jnp.float32),
+                jax.ShapeDtypeStruct((c, w), jnp.int32),
+            ],
+            interpret=interpret,
+            **extra,
+        )(hh_a, hh_b, hp_h, hp_p, nb_t, obj_t, pack)
+
+    return run

@@ -374,20 +374,30 @@ def _narrowphase_mixed_pallas(
     )
 
 
-def megakernel_substeps(body: BodyState, contacts: Contacts, om, cfg,
+def megakernel_substeps(body: BodyState, contacts: Optional[Contacts],
+                        om, cfg,
                         jbuf: Optional[_joints.Joints] = None,
                         tile_w: int = 128,
-                        interpret: Optional[bool] = None) -> BodyState:
+                        interpret: Optional[bool] = None,
+                        planar_contacts=None) -> BodyState:
     """Run every substep (integrate -> position solve -> set_velocities
     -> velocity solve) in one VMEM-resident Pallas call
     (ops/solver_pallas). Contacts are frozen for the step
-    (narrowphase_once semantics); outputs match the XLA jacobi path."""
+    (narrowphase_once semantics); outputs match the XLA jacobi path.
+
+    ``planar_contacts`` (from ops/physics_megakernel.make_contacts_kernel)
+    supplies the contact buffers already in the solver's planar layout —
+    the narrowphase="pallas_mega" tier — skipping the W-major Contacts
+    packing entirely."""
     from ..ops import solver_pallas as spk
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     w, n = body.pos.shape[:2]
-    c = contacts.ref.shape[1]
+    if planar_contacts is not None:
+        c = planar_contacts[0].shape[0]
+    else:
+        c = contacts.ref.shape[1]
     h = cfg.dt / cfg.substeps
 
     params = om.obj_params(body.obj_id)
@@ -411,19 +421,29 @@ def megakernel_substeps(body: BodyState, contacts: Contacts, om, cfg,
         [body.pos, body.rot, body.vel, body.omega], axis=-1
     )  # [W, N, STATE_F]
 
-    avg, max_pen, zero = xpbd._avg_contacts_batch(
-        contacts.points, contacts.num
-    )
-    ok = (contacts.num > 0) & (~zero)
-    con_t = jnp.concatenate(
-        [contacts.normal, avg, max_pen[..., None],
-         ok.astype(jnp.float32)[..., None]],
-        axis=-1,
-    )  # [W, C, CON_F]
-    pts_t = contacts.points.reshape(w, c, 16)
-
     t3 = lambda a: jnp.transpose(a, (2, 1, 0))
     t2 = lambda a: jnp.transpose(a, (1, 0))
+    if planar_contacts is None:
+        avg, max_pen, zero = xpbd._avg_contacts_batch(
+            contacts.points, contacts.num
+        )
+        ok = (contacts.num > 0) & (~zero)
+        con_t = jnp.concatenate(
+            [contacts.normal, avg, max_pen[..., None],
+             ok.astype(jnp.float32)[..., None]],
+            axis=-1,
+        )  # [W, C, CON_F]
+        pts_t = contacts.points.reshape(w, c, 16)
+        cargs = (
+            t2(contacts.ref), t2(contacts.alt),
+            t3(con_t), t3(pts_t), t2(contacts.num),
+        )
+    else:
+        ref_p, alt_p, con_p, pts_p, num_p = planar_contacts
+        cargs = (
+            ref_p.astype(jnp.int32), alt_p.astype(jnp.int32),
+            con_p, pts_p, num_p,
+        )
     jargs = ()
     n_joints = 0
     if jbuf is not None:
@@ -451,10 +471,7 @@ def megakernel_substeps(body: BodyState, contacts: Contacts, om, cfg,
         loop=cfg.megakernel_loop, vmem_limit_mb=cfg.megakernel_vmem_mb,
         dyn_range=cfg.solver_dynamic_range,
     )
-    out = fn(
-        t3(state_t), t3(param_t), t2(contacts.ref), t2(contacts.alt),
-        t3(con_t), t3(pts_t), t2(contacts.num), *jargs,
-    )
+    out = fn(t3(state_t), t3(param_t), *cargs, *jargs)
     out = jnp.transpose(out, (2, 1, 0))               # [W, N, OUT_F]
     return dataclasses.replace(
         body,
@@ -666,6 +683,66 @@ def make_physics_node(
             body = megakernel_fused_step(
                 body, cands, om, cfg, jbuf=jbuf,
                 tile_w=cfg.megakernel_tile,
+            )
+            body = dataclasses.replace(
+                body,
+                ext_force=jnp.zeros_like(body.ext_force),
+                ext_torque=jnp.zeros_like(body.ext_torque),
+            )
+            return write_back(sm_, state, body)
+
+        if cfg.narrowphase == "pallas_mega":
+            # contacts megakernel tier: narrowphase (hh SAT + hp lane)
+            # + the avg/max-pen assembly in ONE kernel emitting the
+            # solver's planar buffers — no W-major Contacts ever built
+            from ..ops import physics_megakernel as fpk
+
+            if not (jacobi and cfg.narrowphase_once and cfg.megakernel):
+                raise ValueError(
+                    "narrowphase='pallas_mega' requires solver='jacobi', "
+                    "narrowphase_once=True and megakernel=True"
+                )
+            if caps.sphere_any != 0:
+                raise ValueError(
+                    "narrowphase='pallas_mega' covers hull-hull + "
+                    "hull-plane lanes only; set CandidateCaps."
+                    "sphere_any=0 (envs with sphere prims use the "
+                    "split tiers)"
+                )
+            if want_events:
+                raise ValueError(
+                    "CollisionEvents export needs W-major Contacts; "
+                    "use narrowphase='pallas_sublane' instead of "
+                    "'pallas_mega'"
+                )
+            interp = jax.default_backend() == "cpu"
+            pred = xpbd.integrate(body, om, h, gravity)
+            nb_t = jnp.moveaxis(
+                jnp.concatenate(
+                    [pred.pos, pred.rot, pred.scale], axis=-1
+                ), 0, -1,
+            )                                        # [N, 10, W]
+            obj_t = jnp.moveaxis(
+                body.obj_id.astype(jnp.float32), 0, -1
+            )
+            t2_ = lambda a: jnp.transpose(a, (1, 0))
+            w_ = body.pos.shape[0]
+            fnc = fpk.make_contacts_kernel(
+                om.hull_dims, body.pos.shape[1],
+                om.hull_pack.shape[0],
+                tile_w=min(cfg.megakernel_tile, w_),
+                interpret=interp,
+                vmem_limit_mb=cfg.narrowphase_vmem_mb,
+            )
+            planar = fnc(
+                t2_(cands.hh[..., 0]), t2_(cands.hh[..., 1]),
+                t2_(cands.hp[..., 0]), t2_(cands.hp[..., 1]),
+                nb_t, obj_t, om.hull_pack_planar,
+            )
+            body = megakernel_substeps(
+                body, None, om, cfg, jbuf=jbuf,
+                tile_w=cfg.megakernel_tile,
+                planar_contacts=planar,
             )
             body = dataclasses.replace(
                 body,

@@ -53,6 +53,10 @@ class PhysicsConfig:
     # "pallas": hull-hull narrowphase runs as a VMEM-resident Pallas
     # kernel (ops/narrowphase_pallas) — the megakernel tier; "xla" keeps
     # the fused-ops path (CPU/debug, and the oracle for the kernel).
+    # "pallas_mega": narrowphase (hh SAT + hull-plane lane) AND the
+    # contact avg/max-pen assembly in ONE kernel emitting the solver's
+    # planar buffers (ops/physics_megakernel.make_contacts_kernel) —
+    # requires megakernel=True, narrowphase_once=True, sphere_any=0.
     narrowphase: str = "xla"
     # True: contacts generated once per step at the first substep's
     # predicted poses ("Small Steps in Physics Simulation" style) and

@@ -35,12 +35,19 @@ GRIDS = {
         "megakernel_loop": [False, True],
         "narrowphase_pair_tile": [8],
         "bench_worlds": [1024, 2048, 4096],
-        "bench_chunk": [8],
+        "bench_chunk": [8, 16],
     },
     "hide_seek": {
         "megakernel_tile": [128],
         "narrowphase_pair_tile": [8],
-        "bench_worlds": [8192, 16384],
+        "bench_worlds": [2048, 8192, 16384],
+        "bench_chunk": [8],
+    },
+    # many-body swept-broadphase tier: window + world count are the
+    # effective knobs (reference regime: per-world AABB tree)
+    "pile": {
+        "broadphase_window": [48, 64, 80],
+        "bench_worlds": [64, 128, 256],
         "bench_chunk": [8],
     },
 }

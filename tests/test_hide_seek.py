@@ -360,3 +360,50 @@ def test_pixels_64x64_design_point():
     hit = dep < t_max - 1.0
     assert hit.mean() > 0.4
     assert hit.reshape(w * hs.N_AGENTS, -1).mean(axis=1).min() > 0.1
+
+
+def test_candidate_caps_never_overflow_long_rollout():
+    """Regression guard for the candidate caps (hh=7, hp=9, sp=0).
+
+    hp cap is the exact dynamic-body count (9) — every dynamic near the
+    floor is a candidate, so demand can reach the cap but never exceed
+    it; the old cap of 7 silently dropped floor contacts. Measures TRUE
+    occupancy with oversized caps over a seeded random rollout and
+    asserts every step fits the shipped caps (saturation would silently
+    drop contacts — the Candidates.overflow soft-failure contract)."""
+    import jax
+
+    from madrona_tpu.physics import api as papi
+    from madrona_tpu.physics import broadphase as bp
+
+    worlds, steps = 16, 400
+    env = HideSeek(pixels=False)
+    sim = make_sim(env, num_worlds=worlds, seed=17, donate=False)
+    step = sim.step_fn()
+    shipped = env.caps
+    big = bp.CandidateCaps(hull_hull=64, hull_plane=64, sphere_any=8)
+
+    @jax.jit
+    def occupancy(state):
+        body = papi.body_state(sim.executor.sm, state)
+        c = bp.find_candidates(body, env.om, big, env.cfg.dt)
+        return c.hh_num, c.hp_num, c.sp_num
+
+    acts = env.random_actions(np.random.RandomState(3), steps, worlds)
+    state = sim.state
+    max_hh = max_hp = max_sp = 0
+    for t in range(steps):
+        hh, hp, sp = jax.device_get(occupancy(state))
+        max_hh = max(max_hh, int(hh.max()))
+        max_hp = max(max_hp, int(hp.max()))
+        max_sp = max(max_sp, int(sp.max()))
+        assert int(hh.max()) <= shipped.hull_hull, (t, int(hh.max()))
+        assert int(hp.max()) <= shipped.hull_plane, (t, int(hp.max()))
+        assert int(sp.max()) <= shipped.sphere_any, (t, int(sp.max()))
+        state, _ = step(state, {
+            "action": acts[t],
+            "reset": jnp.zeros((worlds,), jnp.int32),
+        })
+    print(f"max occupancy over {steps} steps x {worlds} worlds: "
+          f"hh={max_hh}/{shipped.hull_hull} hp={max_hp}/{shipped.hull_plane} "
+          f"sp={max_sp}/{shipped.sphere_any}")

@@ -244,3 +244,126 @@ def test_hide_seek_fused_pipeline():
                 outs[True][t][k], outs[False][t][k],
                 rtol=2e-3, atol=2e-4, err_msg=f"step {t} key {k}",
             )
+
+
+def test_contacts_megakernel_matches_split_path():
+    """narrowphase='pallas_mega' (contacts kernel -> planar solver
+    inputs) must reproduce the split path (XLA/sublane narrowphase +
+    W-major packing) bit-for-bit on the full escape-room pipeline: the
+    kernel runs the same hh SAT (hh_sat_planes), the same plane-form hp
+    lane, and the same avg/max-pen reduction. Candidate rows/counts are
+    bit-exact; contact values carry 1-2 ulp of FMA-contraction rounding
+    (plane-form vs vector-form fusion, the suite's fused-kernel
+    tolerance class), so trajectories are compared to tight
+    tolerances."""
+    import numpy as np
+
+    from madrona_tpu.models.base import make_sim
+    from madrona_tpu.models.escape_room import EscapeRoom
+
+    def run(narrowphase):
+        env = EscapeRoom()
+        env.cfg = dataclasses.replace(
+            env.cfg, narrowphase=narrowphase, megakernel=True,
+            narrowphase_once=True,
+        )
+        sim = make_sim(env, num_worlds=4, seed=9, donate=False)
+        step = sim.step_fn()
+        state = sim.state
+        acts = env.random_actions(np.random.RandomState(4), 8, 4)
+        outs = None
+        for t in range(8):
+            state, outs = step(state, {
+                "action": acts[t],
+                "reset": jnp.zeros((4,), jnp.int32),
+            })
+        pos = np.asarray(state.tables["RigidBody"].columns["Position"])
+        vel = np.asarray(
+            state.tables["RigidBody"].columns["Velocity"]["linear"]
+        )
+        return pos, vel, {k: np.asarray(v) for k, v in outs.items()}
+
+    p1, v1, o1 = run("xla")
+    p2, v2, o2 = run("pallas_mega")
+    np.testing.assert_allclose(p1, p2, atol=2e-3, rtol=0)
+    np.testing.assert_allclose(v1, v2, atol=2e-2, rtol=0)
+    for k in ("reward", "done"):
+        np.testing.assert_allclose(
+            o1[k].astype(np.float64), o2[k].astype(np.float64),
+            atol=1e-3, rtol=0, err_msg=k,
+        )
+
+
+def test_contacts_megakernel_buffers_match_split():
+    """Direct contact-buffer parity: rows/num bit-exact; live-lane
+    contact values within ulp-level FMA-contraction bounds."""
+    import numpy as np
+
+    from madrona_tpu.models.base import make_sim
+    from madrona_tpu.models.escape_room import EscapeRoom
+    from madrona_tpu.physics import api as papi
+    from madrona_tpu.physics import broadphase as bpm
+    from madrona_tpu.ops import physics_megakernel as fpk2
+
+    env = EscapeRoom()
+    sim = make_sim(env, num_worlds=4, seed=9, donate=False)
+    step = sim.step_fn()
+    state = sim.state
+    acts = env.random_actions(np.random.RandomState(4), 6, 4)
+    for t in range(6):
+        state, _ = step(state, {
+            "action": acts[t], "reset": jnp.zeros((4,), jnp.int32),
+        })
+    cfg = env.cfg
+    om = env.om
+    body = papi.body_state(sim.executor.sm, state)
+    h = cfg.dt / cfg.substeps
+    cands = bpm.find_candidates(body, om, env.caps, cfg.dt)
+    pred = xpbd.integrate(body, om, h, jnp.asarray(cfg.gravity, jnp.float32))
+
+    contacts = papi._narrowphase_all(pred, om, cands)
+    avg, max_pen, zero = xpbd._avg_contacts_batch(
+        contacts.points, contacts.num
+    )
+    ok = (contacts.num > 0) & (~zero)
+
+    t2 = lambda a: jnp.transpose(a, (1, 0))
+    nb_t = jnp.moveaxis(
+        jnp.concatenate([pred.pos, pred.rot, pred.scale], -1), 0, -1
+    )
+    obj_t = jnp.moveaxis(body.obj_id.astype(jnp.float32), 0, -1)
+    fnc = fpk2.make_contacts_kernel(
+        om.hull_dims, body.pos.shape[1], om.hull_pack.shape[0],
+        interpret=True,
+    )
+    ref_p, alt_p, con_p, pts_p, num_p = jax.jit(fnc)(
+        t2(cands.hh[..., 0]), t2(cands.hh[..., 1]),
+        t2(cands.hp[..., 0]), t2(cands.hp[..., 1]),
+        nb_t, obj_t, om.hull_pack_planar,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t2(ref_p)).astype(np.int32), np.asarray(contacts.ref)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t2(alt_p)).astype(np.int32), np.asarray(contacts.alt)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t2(num_p)), np.asarray(contacts.num)
+    )
+    con_ref = jnp.concatenate(
+        [contacts.normal, avg, max_pen[..., None],
+         ok.astype(jnp.float32)[..., None]], axis=-1,
+    )
+    con_ref_t = np.asarray(jnp.transpose(con_ref, (2, 1, 0)))
+    okm = np.asarray(ok).T[None]                       # [1, C, W]
+    d_con = np.where(okm, np.asarray(con_p) - con_ref_t, 0.0)
+    assert np.abs(d_con).max() < 1e-4, np.abs(d_con).max()
+    num_np = np.asarray(contacts.num).T                # [C, W]
+    pts_ref_t = np.asarray(jnp.transpose(
+        contacts.points.reshape(4, -1, 16), (2, 1, 0)
+    ))
+    live16 = np.repeat(
+        np.stack([(k < num_np) for k in range(4)]), 4, axis=0
+    )
+    d_pts = np.where(live16 & okm, np.asarray(pts_p) - pts_ref_t, 0.0)
+    assert np.abs(d_pts).max() < 1e-4, np.abs(d_pts).max()
