@@ -31,15 +31,19 @@ def main():
             "capture must run on the real TPU (backend is cpu)"
         )
     print(f"backend: {backend}; running compiled kernels...", flush=True)
-    out = golden_inputs.run_kernels(interpret=False)
     gdir = os.path.join(os.path.dirname(__file__), "..", "tests",
                         "goldens")
     os.makedirs(gdir, exist_ok=True)
-    path = os.path.join(gdir, "kernels_v1.npz")
-    np.savez_compressed(path, **out)
-    print(f"wrote {os.path.abspath(path)}:")
-    for k, v in out.items():
-        print(f"  {k}: {v.shape} {v.dtype}")
+    for name, runner in (
+        ("kernels_v1", golden_inputs.run_kernels),
+        ("kernels_v2", golden_inputs.run_kernels_v2),
+    ):
+        out = runner(interpret=False)
+        path = os.path.join(gdir, f"{name}.npz")
+        np.savez_compressed(path, **out)
+        print(f"wrote {os.path.abspath(path)}:")
+        for k, v in out.items():
+            print(f"  {k}: {v.shape} {v.dtype}")
 
 
 if __name__ == "__main__":

@@ -30,29 +30,58 @@ def make_om():
 
 
 def make_body(rs):
-    def q_rand(shape):
-        q = rs.randn(*shape, 4).astype(np.float32)
-        return q / np.linalg.norm(q, axis=-1, keepdims=True)
+    """WELL-CONDITIONED golden scene: a jittered lattice of shallowly
+    touching boxes with small tilts. Goldens compare COMPILED Mosaic
+    against interpret mode, whose float contraction orders differ by
+    ulps; a degenerate scene (deep random interpenetration) lets those
+    ulps flip SAT face-selection ties into different-but-valid contact
+    normals, which is amplification noise, not a kernel regression.
+    Shallow well-separated face separations keep every discrete choice
+    stable so the goldens pin real divergence tightly."""
+    def q_tilt(shape, max_angle=0.5):
+        # tilts big enough that no two faces are near-parallel (ALIGNED
+        # boxes are the degenerate case: every face pair ties in the
+        # SAT and the clip polygon has redundant points), small enough
+        # that contacts stay shallow
+        axis = rs.randn(*shape, 3).astype(np.float32)
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        ang = rs.uniform(0.15, max_angle, shape).astype(np.float32)
+        q = np.concatenate(
+            [np.cos(ang / 2)[..., None],
+             np.sin(ang / 2)[..., None] * axis], axis=-1,
+        )
+        return q.astype(np.float32)
 
-    pos = rs.uniform(-1.5, 1.5, (W, N, 3)).astype(np.float32)
-    pos[..., 2] += 1.0
+    # 4x4 lattice at ~box spacing: neighbor overlaps in [-0.1, 0.1]
+    idx = np.arange(N)
+    gx = (idx % 4).astype(np.float32)
+    gy = (idx // 4).astype(np.float32)
+    pos = np.zeros((W, N, 3), np.float32)
+    pos[..., 0] = gx[None] * 1.1 + rs.uniform(-0.06, 0.06, (W, N))
+    pos[..., 1] = gy[None] * 1.1 + rs.uniform(-0.06, 0.06, (W, N))
+    pos[..., 2] = rs.uniform(0.5, 0.62, (W, N)).astype(np.float32)
     obj = rs.randint(1, 3, (W, N)).astype(np.int32)
     obj[:, 0] = 0
+    pos[:, 0] = 0.0                        # row 0: the floor plane
     resp = np.full((W, N), pb.RESPONSE_DYNAMIC, np.int32)
     resp[:, 0] = pb.RESPONSE_STATIC
     active = np.ones((W, N), bool)
     active[:, -1] = False
+    rot = q_tilt((W, N))
+    rot[:, 0] = [1, 0, 0, 0]
     z3 = jnp.zeros((W, N, 3))
     z4 = jnp.zeros((W, N, 4))
     return BodyState(
-        pos=jnp.asarray(pos), rot=jnp.asarray(q_rand((W, N))),
+        pos=jnp.asarray(pos), rot=jnp.asarray(rot),
         scale=jnp.ones((W, N, 3)),
-        vel=jnp.asarray(rs.randn(W, N, 3).astype(np.float32)),
-        omega=jnp.asarray(0.5 * rs.randn(W, N, 3).astype(np.float32)),
+        vel=jnp.asarray(0.3 * rs.randn(W, N, 3).astype(np.float32)),
+        omega=jnp.asarray(0.2 * rs.randn(W, N, 3).astype(np.float32)),
         obj_id=jnp.asarray(obj), response=jnp.asarray(resp),
-        ext_force=jnp.asarray(0.1 * rs.randn(W, N, 3).astype(np.float32)),
+        ext_force=jnp.asarray(
+            0.05 * rs.randn(W, N, 3).astype(np.float32)
+        ),
         ext_torque=jnp.asarray(
-            0.1 * rs.randn(W, N, 3).astype(np.float32)
+            0.05 * rs.randn(W, N, 3).astype(np.float32)
         ),
         prev_x=z3, prev_q=z4, presolve_x=z3, presolve_q=z4,
         presolve_v=z3, presolve_w=z3,
@@ -91,7 +120,9 @@ def make_contacts(rs):
     nrm = rs.randn(W, C, 3).astype(np.float32)
     nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
     pts = rs.uniform(-2, 2, (W, C, 4, 3)).astype(np.float32)
-    dep = rs.uniform(-0.02, 0.08, (W, C, 4, 1)).astype(np.float32)
+    # shallow depths: deep synthetic penetrations amplify ulp-scale
+    # compiled-vs-interpret differences through the solver's branches
+    dep = rs.uniform(-0.01, 0.03, (W, C, 4, 1)).astype(np.float32)
     ref = rs.randint(1, N - 1, (W, C)).astype(np.int32)
     alt = rs.randint(0, N - 1, (W, C)).astype(np.int32)
     alt = np.where(alt == ref, (alt + 1) % (N - 1), alt)
@@ -143,7 +174,10 @@ def make_full_candidates(rs, body_obj):
     sph_rows = [
         [r for r in range(1, N) if body_obj[w, r] == 3] for w in range(W)
     ]
-    cap_hh, cap_hp, cap_s = 16, 8, 8
+    # production-scale caps (escape room ships hh=8); ALSO the fused
+    # kernel's compiled VMEM budget: hh=16/sp=8 overflowed the 16M
+    # scoped-vmem stack even with loop+chunk
+    cap_hh, cap_hp, cap_s = 8, 8, 4
     hh = np.full((W, cap_hh, 2), N, np.int32)
     hp = np.full((W, cap_hp, 2), N, np.int32)
     sp = np.full((W, cap_s, 2), N, np.int32)
@@ -204,9 +238,14 @@ def fused_case():
 
     body = dataclasses.replace(body, obj_id=jnp.asarray(obj))
     cands = make_full_candidates(rs, obj)
+    # rolled substeps + hh pair chunking: the unrolled fused kernel's
+    # scoped-VMEM stack (~26M) exceeds the physical 16M when COMPILED;
+    # this is the kernel's only Mosaic-feasible configuration and
+    # therefore the one the goldens pin
     cfg = PhysicsConfig(
         dt=1.0 / 30.0, substeps=4, solver="jacobi", jacobi_iters=2,
         narrowphase_once=True, megakernel_fused=True,
+        megakernel_loop=True, fused_pair_chunk=4,
     )
     return om, body, cands, cfg
 
@@ -241,3 +280,216 @@ def run_kernels(interpret: bool):
         "fk_vel": body3.vel, "fk_omega": body3.omega,
     })
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+def lidar_case():
+    """(inst_pos, inst_rot, inst_half, self_mask, origins, dirs, t_max)
+    for the lidar OBB kernel (ops/lidar_pallas.lidar_obb shapes)."""
+    rs = np.random.RandomState(SEED + 2)
+    n_inst, n_agents, per = 12, 2, 30
+
+    def q_rand(shape):
+        q = rs.randn(*shape, 4).astype(np.float32)
+        return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+    inst_pos = rs.uniform(-6, 6, (W, n_inst, 3)).astype(np.float32)
+    inst_rot = q_rand((W, n_inst))
+    inst_half = rs.uniform(0.2, 2.0, (W, n_inst, 3)).astype(np.float32)
+    self_mask = np.zeros((n_agents, n_inst), bool)
+    self_mask[0, 0] = True
+    self_mask[1, 1] = True
+    origins = rs.uniform(-2, 2, (W, n_agents, 3)).astype(np.float32)
+    dirs = rs.randn(W, n_agents, per, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return (
+        jnp.asarray(inst_pos), jnp.asarray(inst_rot),
+        jnp.asarray(inst_half), self_mask,
+        jnp.asarray(origins), jnp.asarray(dirs), 25.0,
+    )
+
+
+def run_kernels_v2(interpret: bool):
+    """Round-4 additions: broadphase kernel, contacts megakernel,
+    dyn_range solver, lidar kernel. Kept separate from run_kernels so
+    the v1 golden payload stays byte-stable."""
+    import dataclasses
+
+    from madrona_tpu.physics import api
+    from madrona_tpu.physics import broadphase as bp
+    from madrona_tpu.physics import xpbd
+    from madrona_tpu.ops import lidar_pallas
+    from madrona_tpu.ops import physics_megakernel as fpk
+
+    om, body, cands, contacts, cfg = golden_case()
+    out = {}
+
+    # --- broadphase + compaction kernel
+    caps = bp.CandidateCaps(hull_hull=8, hull_plane=6, sphere_any=2)
+    c_bp = bp.find_candidates_pallas(
+        body, om, caps, cfg.dt, interpret=interpret
+    )
+    out.update({
+        "bp_hh": c_bp.hh, "bp_hh_num": c_bp.hh_num,
+        "bp_hp": c_bp.hp, "bp_hp_num": c_bp.hp_num,
+        "bp_sp": c_bp.sp, "bp_sp_num": c_bp.sp_num,
+        "bp_kind": c_bp.sp_kind,
+        "bp_overflow": c_bp.overflow.astype(np.int32),
+    })
+
+    # --- contacts megakernel (hh + hp lanes at predicted poses)
+    h = cfg.dt / cfg.substeps
+    caps2 = bp.CandidateCaps(hull_hull=8, hull_plane=8, sphere_any=0)
+    cands2 = bp.find_candidates(body, om, caps2, cfg.dt)
+    pred = xpbd.integrate(
+        body, om, h, jnp.asarray(cfg.gravity, jnp.float32)
+    )
+    t2 = lambda a: jnp.transpose(a, (1, 0))
+    nb_t = jnp.moveaxis(
+        jnp.concatenate([pred.pos, pred.rot, pred.scale], -1), 0, -1
+    )
+    obj_t = jnp.moveaxis(body.obj_id.astype(jnp.float32), 0, -1)
+    fnc = fpk.make_contacts_kernel(
+        om.hull_dims, N, om.hull_pack.shape[0], interpret=interpret
+    )
+    ref_p, alt_p, con_p, pts_p, num_p = fnc(
+        t2(cands2.hh[..., 0]), t2(cands2.hh[..., 1]),
+        t2(cands2.hp[..., 0]), t2(cands2.hp[..., 1]),
+        nb_t, obj_t, om.hull_pack_planar,
+    )
+    out.update({
+        "cm_ref": ref_p, "cm_alt": alt_p, "cm_con": con_p,
+        "cm_pts": pts_p, "cm_num": num_p,
+    })
+
+    # --- solver megakernel with the static-row split (dyn_range)
+    resp = np.asarray(body.response).copy()
+    resp[:, :4] = pb.RESPONSE_STATIC       # rows 0-3 static everywhere
+    body_d = dataclasses.replace(body, response=jnp.asarray(resp))
+    cfg_d = dataclasses.replace(cfg, solver_dynamic_range=(4, N))
+    body4 = api.megakernel_substeps(
+        body_d, contacts, om, cfg_d, tile_w=8, interpret=interpret
+    )
+    out.update({
+        "dr_pos": body4.pos, "dr_rot": body4.rot,
+        "dr_vel": body4.vel, "dr_omega": body4.omega,
+    })
+
+    # --- lidar OBB kernel
+    (inst_pos, inst_rot, inst_half, self_mask, origins, dirs,
+     t_max) = lidar_case()
+    depth = lidar_pallas.lidar_obb(
+        inst_pos, inst_rot, inst_half, self_mask, origins, dirs,
+        t_max, interpret=interpret,
+    )
+    out["li_depth"] = depth
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+# ------------------------------------------------------ golden compare
+
+# Per-key comparison spec. Int fields are exact. Float fields compare
+# only LIVE lanes (dead candidate slots carry unspecified values that
+# legitimately differ between compiled Mosaic and interpret mode).
+# Single-kernel value fields get ulp-scale bounds; whole-substep-loop
+# outputs (4 substeps of branchy contact dynamics) get amplification
+# bounds — anything past these is a real kernel regression.
+TOL_NARROW = 1e-4
+TOL_POS = 1e-3
+TOL_ROT = 1e-3
+# whole-substep-loop bounds: a handful of contact-branch boundary flips
+# (friction clamp, penetrating test) per 4-substep run is inherent ulp
+# amplification; a real Mosaic regression shows up as O(1)+ errors on
+# most elements, far past these
+TOL_VEL = 5e-2
+TOL_OMEGA = 2e-1
+TOL_LIDAR = 1e-5
+
+
+def compare_goldens(out, golden):
+    """Compare a run_kernels*/npz pair; returns a list of failure
+    strings (empty = pass). Masks derive from the GOLDEN int fields,
+    which must match exactly first."""
+    fails = []
+
+    def check_int(k):
+        if not np.array_equal(out[k], golden[k]):
+            fails.append(f"{k}: int mismatch "
+                         f"({(out[k] != golden[k]).sum()} elems)")
+
+    def check(k, tol, mask=None):
+        a = out[k].astype(np.float64)
+        b = golden[k].astype(np.float64)
+        d = np.abs(a - b)
+        if mask is not None:
+            d = np.where(mask, d, 0.0)
+        m = d.max() if d.size else 0.0
+        if m > tol:
+            fails.append(f"{k}: masked maxd {m:.3g} > {tol}")
+
+    keys = set(out)
+    if set(golden) != keys:
+        return [f"key sets differ: {sorted(keys ^ set(golden))}"]
+
+    for k in sorted(keys):
+        if out[k].dtype.kind in "iub":
+            check_int(k)
+    if fails:
+        return fails                     # masks below need exact ints
+
+    def check_pts_sorted(k, pts_a, pts_b, num):
+        """Order-invariant manifold comparison: the 4-point reduction
+        may emit the same point SET in a different slot order between
+        compiled and interpret mode (argmax ties on near-equal scores);
+        sort live points lexicographically before comparing.
+        pts_*: [..., 4, 4] (pt, xyz+depth); num: [...] live counts."""
+        la = np.where(
+            (np.arange(4)[None] < num.reshape(-1, 1))[..., None],
+            pts_a.reshape(-1, 4, 4), 0.0,
+        )
+        lb = np.where(
+            (np.arange(4)[None] < num.reshape(-1, 1))[..., None],
+            pts_b.reshape(-1, 4, 4), 0.0,
+        )
+
+        def sort4(x):
+            order = np.lexsort(
+                (x[..., 3], x[..., 2], x[..., 1], x[..., 0]), axis=-1
+            )
+            return np.take_along_axis(x, order[..., None], axis=1)
+
+        d = np.abs(sort4(la) - sort4(lb)).max() if la.size else 0.0
+        if d > 1e-3:
+            fails.append(f"{k}: sorted-manifold maxd {d:.3g} > 0.001")
+
+    if "np_num" in keys:
+        num = golden["np_num"]                        # [W, P]
+        live = num > 0
+        check("np_ref", 0.0)
+        check("np_alt", 0.0)
+        check("np_nrm", TOL_NARROW, live[..., None])
+        check_pts_sorted("np_pts", out["np_pts"], golden["np_pts"], num)
+    if "cm_num" in keys:
+        num = golden["cm_num"]                        # [C, W]
+        ok = golden["cm_con"][7] > 0.5                # [C, W]
+        check("cm_ref", 0.0)
+        check("cm_alt", 0.0)
+        check("cm_con", TOL_NARROW, ok[None])
+        # cm_pts rows: pt0(x,y,z,d) pt1(...) ... -> [C*W, 4, 4]
+        def planar_pts(x):
+            r = x.reshape(4, 4, x.shape[1], x.shape[2])  # [pt,comp,C,W]
+            return np.transpose(r, (2, 3, 0, 1))         # [C,W,pt,comp]
+
+        num_m = np.where(ok, num, 0)
+        check_pts_sorted(
+            "cm_pts", planar_pts(out["cm_pts"]),
+            planar_pts(golden["cm_pts"]), num_m,
+        )
+    for prefix in ("mk", "dr", "fk"):
+        if f"{prefix}_pos" in keys:
+            check(f"{prefix}_pos", TOL_POS)
+            check(f"{prefix}_rot", TOL_ROT)
+            check(f"{prefix}_vel", TOL_VEL)
+            check(f"{prefix}_omega", TOL_OMEGA)
+    if "li_depth" in keys:
+        check("li_depth", TOL_LIDAR)
+    return fails

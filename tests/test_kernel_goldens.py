@@ -26,16 +26,24 @@ def test_kernels_match_committed_goldens():
     out = golden_inputs.run_kernels(
         interpret=jax.default_backend() == "cpu"
     )
-    assert set(out) == set(golden)
-    for k in sorted(out):
-        a, b = out[k], golden[k]
-        assert a.shape == b.shape and a.dtype == b.dtype, k
-        if a.dtype.kind in "iub":
-            np.testing.assert_array_equal(a, b, err_msg=k)
-        else:
-            # compiled MXU/VPU float contraction order may differ from
-            # interpret mode by ulps; anything past 1e-5 is a real
-            # regression for these magnitudes (positions ~1, quats ~1)
-            np.testing.assert_allclose(
-                a, b, rtol=2e-5, atol=2e-5, err_msg=k
-            )
+    fails = golden_inputs.compare_goldens(out, golden)
+    assert not fails, fails
+
+
+GOLDEN_V2 = os.path.join(
+    os.path.dirname(__file__), "goldens", "kernels_v2.npz"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GOLDEN_V2), reason="v2 goldens not captured yet"
+)
+def test_round4_kernels_match_committed_goldens():
+    """Round-4 kernels (broadphase, contacts megakernel, dyn_range
+    solver, lidar) vs the committed compiled-Mosaic goldens."""
+    golden = dict(np.load(GOLDEN_V2))
+    out = golden_inputs.run_kernels_v2(
+        interpret=jax.default_backend() == "cpu"
+    )
+    fails = golden_inputs.compare_goldens(out, golden)
+    assert not fails, fails
