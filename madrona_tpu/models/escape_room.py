@@ -137,6 +137,12 @@ class EscapeRoom(EnvBase):
         # reference's cached-launch-config analogue) < MADRONA_TPU_* env
         self.cfg = env_override(apply_tuned(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, gravity=(0.0, 0.0, -9.8),
+            # ONE position pass per substep — the reference's count
+            # (solvePositions is a single ParallelForNode per substep,
+            # src/physics/xpbd.cpp:1116-1119); the whole behavior suite
+            # passes at 1, and the solve kernel is ~30% cheaper than
+            # the round-1..3 default of 2
+            jacobi_iters=1,
             # contacts once per step (Small-Steps style): 1.7x faster,
             # behavior covered by this env's test suite
             narrowphase_once=True,

@@ -203,6 +203,9 @@ class HideSeek(EnvBase):
         # are swept separately by scripts/bench_matrix.py)
         self.cfg = env_override(apply_tuned(PhysicsConfig(
             dt=DT, substeps=SUBSTEPS, narrowphase_once=True,
+            # one position pass per substep — the reference's count
+            # (see escape_room); behavior suite green at 1
+            jacobi_iters=1,
             # whole-substep megakernel + sublane narrowphase kernel on
             # accelerators (see escape_room): 417k -> 535k steps/s at
             # 2048 worlds on one v5e chip
