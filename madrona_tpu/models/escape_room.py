@@ -167,6 +167,11 @@ class EscapeRoom(EnvBase):
             # RESPONSE_STATIC; only cubes+agents can move — the solver
             # kernel specializes its gather/scatter to these 8 rows
             solver_dynamic_range=(ROW_CUBE0, N_BODIES),
+            # contact lanes >= hull_hull cap (8) are the hull-plane
+            # segment, whose ref row is ALWAYS the static floor plane:
+            # the solver kernel skips their per-substep ref-side
+            # gathers/scatters (exact under the dyn-range split)
+            solver_ref_dyn_lanes=8,
         ), self.name))
         # measured occupancy over random rollouts: max 3 hull-hull and 8
         # hull-plane candidates; 8 gives 2.6x headroom (overflow drops

@@ -216,6 +216,12 @@ class HideSeek(EnvBase):
                 "pallas_mega" if jax.default_backend() != "cpu"
                 else "xla"
             ),
+            # rows 0-4 (floor + walls) are always RESPONSE_STATIC;
+            # only boxes/ramps/agents move
+            solver_dynamic_range=(ROW_BOX0, N_BODIES),
+            # lanes >= hull_hull cap (7) = the hull-plane segment:
+            # ref is always the static floor (see escape_room)
+            solver_ref_dyn_lanes=7,
             # VMEM-resident all-pairs broadphase kernel (bit-identical
             # candidates; see escape_room)
             broadphase=(

@@ -141,6 +141,34 @@ def _scatter(mask, plane_c):
     return jnp.sum(mask * plane_c[:, None], axis=0)
 
 
+# --- static-ref-segment variants: contact lanes >= ``live`` carry a
+# GUARANTEED-static ref row, whose dyn-range mask rows are structurally
+# all-zero (mk_dyn of a row outside [d0, d1) matches nothing), so the
+# gather prefix + an exact zero tail / the scatter prefix are identical
+# to the full contraction at a fraction of the cost. Exact by
+# construction; only enabled under solver_dynamic_range.
+
+
+def _gather_seg(mask, live, plane):
+    c = mask.shape[0]
+    if live >= c:
+        return _gather(mask, plane)
+    g = _gather(mask[:live], plane)
+    return jnp.concatenate(
+        [g, jnp.zeros((c - live,) + g.shape[1:], g.dtype)], axis=0
+    )
+
+
+def _gv_seg(mask, live, v):
+    return tuple(_gather_seg(mask, live, p) for p in v)
+
+
+def _scatter_seg(mask, live, plane_c):
+    if live >= mask.shape[0]:
+        return _scatter(mask, plane_c)
+    return _scatter(mask[:live], plane_c[:live])
+
+
 # ----------------------------------------------------------------- phases
 
 
@@ -292,30 +320,35 @@ def _vaddn(a, b):
     return a if b is None else tuple(x + y for x, y in zip(a, b))
 
 
-def _side_sub(mask, st, stat):
+def _side_sub(mask, st, stat, live=None):
     """Per-substep side constants: prev/presolve gathers, hoisted out of
     the position iterations + velocity solve (set once by _integrate).
     ``stat`` carries the static-row contributions (see _substep_kernel);
     static rows' prev/presolve pose equals their constant pose, and their
-    presolve velocity is exactly zero (integrate's moving guard)."""
+    presolve velocity is exactly zero (integrate's moving guard).
+    ``live``: static-ref-segment prefix length (see _gather_seg)."""
+    if live is None:
+        live = mask.shape[0]
     sx = stat["x"] if stat is not None else None
     sq = stat["q"] if stat is not None else None
     return dict(
-        prev_x=_vaddn(_gv(mask, st["prev_x"]), sx),
-        prev_q=_vaddn(_gv(mask, st["prev_q"]), sq),
-        psx=_vaddn(_gv(mask, st["psx"]), sx),
-        psq=_vaddn(_gv(mask, st["psq"]), sq),
-        psv=_gv(mask, st["psv"]),
-        psw=_gv(mask, st["psw"]),
+        prev_x=_vaddn(_gv_seg(mask, live, st["prev_x"]), sx),
+        prev_q=_vaddn(_gv_seg(mask, live, st["prev_q"]), sq),
+        psx=_vaddn(_gv_seg(mask, live, st["psx"]), sx),
+        psq=_vaddn(_gv_seg(mask, live, st["psq"]), sq),
+        psv=_gv_seg(mask, live, st["psv"]),
+        psw=_gv_seg(mask, live, st["psw"]),
     )
 
 
-def _position_solve(st, pr, masks, con, iters, prm, subs, stats):
+def _position_solve(st, pr, masks, con, iters, prm, subs, stats,
+                    ref_live=None):
     """solve_positions_jacobi on planes; returns (st, lam_total [C, TW]).
 
     prm: hoisted per-contact-side params (inv_m/inv_i/mu — constant all
     step); subs: per-substep side constants (_side_sub); stats: static-
-    row contributions for the changing x/q gathers (None = no split)."""
+    row contributions for the changing x/q gathers (None = no split);
+    ref_live: static-ref-segment prefix (see _gather_seg)."""
     m_ref, m_alt = masks
     prm1, prm2 = prm
     sub1, sub2 = subs
@@ -324,19 +357,24 @@ def _position_solve(st, pr, masks, con, iters, prm, subs, stats):
     okf = ok.astype(jnp.float32)
     lam_total = jnp.zeros_like(pen)
     stat_d = pr["static"]
+    c_all = m_ref.shape[0]
+    if ref_live is None:
+        ref_live = c_all
 
     for _ in range(iters):
-        def side(mask, p, sub, s):
+        def side(mask, p, sub, s, live):
             return dict(
-                x=_vaddn(_gv(mask, st["x"]), None if s is None else s["x"]),
-                q=_vaddn(_gv(mask, st["q"]), None if s is None else s["q"]),
+                x=_vaddn(_gv_seg(mask, live, st["x"]),
+                         None if s is None else s["x"]),
+                q=_vaddn(_gv_seg(mask, live, st["q"]),
+                         None if s is None else s["q"]),
                 prev_x=sub["prev_x"], prev_q=sub["prev_q"],
                 psx=sub["psx"], psq=sub["psq"],
                 inv_m=p["inv_m"], inv_i=p["inv_i"], mu_s=p["mu_s"],
             )
 
-        b1 = side(m_ref, prm1, sub1, s1)
-        b2 = side(m_alt, prm2, sub2, s2)
+        b1 = side(m_ref, prm1, sub1, s1, ref_live)
+        b2 = side(m_alt, prm2, sub2, s2, c_all)
         r1, r2 = _local_contacts_pl(
             b1["psq"], b1["psx"], b2["psq"], b2["psx"], avg, pen, nrm
         )
@@ -346,10 +384,10 @@ def _position_solve(st, pr, masks, con, iters, prm, subs, stats):
 
         d1 = _vsub(x1, b1["x"]) + _vsub4(q1, b1["q"])     # 7 planes
         d2 = _vsub(x2, b2["x"]) + _vsub4(q2, b2["q"])
-        cnt = _scatter(m_ref, okf) + _scatter(m_alt, okf)
+        cnt = _scatter_seg(m_ref, ref_live, okf) + _scatter(m_alt, okf)
         cnt = jnp.maximum(cnt, 1.0)
         mean = tuple(
-            (_scatter(m_ref, jnp.where(ok, d1[i], 0.0))
+            (_scatter_seg(m_ref, ref_live, jnp.where(ok, d1[i], 0.0))
              + _scatter(m_alt, jnp.where(ok, d2[i], 0.0))) / cnt
             for i in range(7)
         )
@@ -523,7 +561,8 @@ def _set_velocities(st, pr, h):
 
 
 def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
-                    restitution_threshold, prm, subs, stats):
+                    restitution_threshold, prm, subs, stats,
+                    ref_live=None):
     """solve_velocities_jacobi on planes."""
     m_ref, m_alt = masks
     prm1, prm2 = prm
@@ -531,22 +570,25 @@ def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
     s1, s2 = stats
     nrm, avg, pen, ok = con["nrm"], con["avg"], con["pen"], con["ok"]
     okf = ok.astype(jnp.float32)
+    c_all = m_ref.shape[0]
+    if ref_live is None:
+        ref_live = c_all
 
-    def side(mask, p, sub, s):
+    def side(mask, p, sub, s, live):
         sv = None if s is None else s["v"]
         sw = None if s is None else s["w"]
         sq = None if s is None else s["q"]
         return dict(
-            q=_vaddn(_gv(mask, st["q"]), sq),
-            v=_vaddn(_gv(mask, st["v"]), sv),
-            w=_vaddn(_gv(mask, st["w"]), sw),
+            q=_vaddn(_gv_seg(mask, live, st["q"]), sq),
+            v=_vaddn(_gv_seg(mask, live, st["v"]), sv),
+            w=_vaddn(_gv_seg(mask, live, st["w"]), sw),
             psx=sub["psx"], psq=sub["psq"],
             psv=sub["psv"], psw=sub["psw"],
             inv_m=p["inv_m"], inv_i=p["inv_i"], mu_d=p["mu_d"],
         )
 
-    b1 = side(m_ref, prm1, sub1, s1)
-    b2 = side(m_alt, prm2, sub2, s2)
+    b1 = side(m_ref, prm1, sub1, s1, ref_live)
+    b2 = side(m_alt, prm2, sub2, s2, c_all)
     mu_d = 0.5 * (b1["mu_d"] + b2["mu_d"])
 
     r1, r2 = _local_contacts_pl(
@@ -647,10 +689,10 @@ def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
 
     d1 = _vadd(dv1, fdv1) + _vadd(dw1, fdw1)          # 6 planes
     d2 = _vadd(dv2, fdv2) + _vadd(dw2, fdw2)
-    cnt = _scatter(m_ref, okf) + _scatter(m_alt, okf)
+    cnt = _scatter_seg(m_ref, ref_live, okf) + _scatter(m_alt, okf)
     cnt = jnp.maximum(cnt, 1.0)
     mean = tuple(
-        (_scatter(m_ref, jnp.where(ok, d1[i], 0.0))
+        (_scatter_seg(m_ref, ref_live, jnp.where(ok, d1[i], 0.0))
          + _scatter(m_alt, jnp.where(ok, d2[i], 0.0))) / cnt
         for i in range(6)
     )
@@ -666,7 +708,7 @@ def _velocity_solve(st, pr, masks, con, pts, lam_n, h, restitution,
 
 def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
                     restitution, restitution_threshold, loop, dyn_range,
-                    *refs):
+                    ref_dyn_lanes, *refs):
     n = n_bodies
     if n_joints > 0:
         (state_ref, param_ref, ref_ref, alt_ref, con_ref, pts_ref,
@@ -795,14 +837,24 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
 
     g = gravity
 
+    # static-ref segment: lanes >= ref_dyn_lanes carry a guaranteed-
+    # static ref row; under the split their dyn masks are structurally
+    # zero, so the per-substep ref-side gathers/scatters shrink to the
+    # live prefix (exact — see _gather_seg). Only sound with the split
+    # (without it, a static row's pose must still be gathered).
+    ref_live = (
+        ref_dyn_lanes if (split and ref_dyn_lanes) else None
+    )
+
     def substep_once(st):
         st = _integrate(st, pr, h, g)
         subs = (
-            _side_sub(m_ref, st, stats[0]),
+            _side_sub(m_ref, st, stats[0], live=ref_live),
             _side_sub(m_alt, st, stats[1]),
         )
         st, lam_n = _position_solve(
-            st, pr, masks, con, iters, prm, subs, stats
+            st, pr, masks, con, iters, prm, subs, stats,
+            ref_live=ref_live,
         )
         if n_joints > 0:
             st = _joint_solve(st, pr, jmasks, jn, jprm, jstats)
@@ -810,6 +862,7 @@ def _substep_kernel(n_bodies, n_joints, substeps, iters, h, gravity,
         st = _velocity_solve(
             st, pr, masks, con, pts, lam_n, h, restitution,
             restitution_threshold, prm, subs, stats,
+            ref_live=ref_live,
         )
         return st
 
@@ -864,7 +917,8 @@ def make_substep_solver(n_bodies, n_contacts, substeps, iters, h, gravity,
                         tile_w: int = 128, interpret: bool = False,
                         loop: bool = False,
                         vmem_limit_mb: int = 0,
-                        dyn_range=None):
+                        dyn_range=None,
+                        ref_dyn_lanes: int = 0):
     """Build the jitted whole-substep solver.
 
     fn(state_t [STATE_F,N,W], param_t [PARAM_F,N,W], ref_t [C,W] i32,
@@ -877,6 +931,11 @@ def make_substep_solver(n_bodies, n_contacts, substeps, iters, h, gravity,
     env's contract — e.g. escape room walls). The solve then runs on
     the dynamic subset with one-time static contributions: exact, and
     ~(N/D)x cheaper on the dominant gather/scatter contractions.
+
+    ref_dyn_lanes=K (>0, requires dyn_range): contact lanes >= K carry
+    a GUARANTEED-static ref row (the env's contract — e.g. the
+    hull-plane segment, whose ref is always the floor plane), so the
+    per-substep ref-side gathers/scatters cover only the first K lanes.
     """
     if dyn_range is not None:
         d0, d1 = dyn_range
@@ -887,6 +946,7 @@ def make_substep_solver(n_bodies, n_contacts, substeps, iters, h, gravity,
         _substep_kernel, n_bodies, n_joints, substeps, iters, float(h),
         tuple(float(x) for x in gravity), float(restitution),
         float(restitution_threshold), loop, dyn_range,
+        int(ref_dyn_lanes),
     )
 
     def run(state_t, param_t, ref_t, alt_t, con_t, pts_t, num_t,

@@ -470,6 +470,7 @@ def megakernel_substeps(body: BodyState, contacts: Optional[Contacts],
         n_joints=n_joints, tile_w=min(tile_w, w), interpret=interpret,
         loop=cfg.megakernel_loop, vmem_limit_mb=cfg.megakernel_vmem_mb,
         dyn_range=cfg.solver_dynamic_range,
+        ref_dyn_lanes=cfg.solver_ref_dyn_lanes,
     )
     out = fn(t3(state_t), t3(param_t), *cargs, *jargs)
     out = jnp.transpose(out, (2, 1, 0))               # [W, N, OUT_F]

@@ -89,6 +89,13 @@ class PhysicsConfig:
     # contractions. Measured on one v5e (escape room, N=21 -> D=8):
     # solver kernel 1.90 -> 0.75 ms/step at 2048 worlds.
     solver_dynamic_range: tuple = None
+    # >0 (requires solver_dynamic_range): contact lanes >= this index
+    # carry a GUARANTEED-static ref row (env layout contract — e.g. the
+    # hull-plane candidate segment, whose ref is always the static
+    # floor plane), so the solver kernel's per-substep ref-side
+    # gather/scatter contractions cover only the leading lanes. Exact:
+    # a static row's dyn-range mask is structurally all-zero.
+    solver_ref_dyn_lanes: int = 0
     # pair tile of the sublane narrowphase kernel (pairs pad up to it).
     # 8 is the VMEM-feasible point for box-class hulls at tile_w=128
     # under the default scoped-VMEM budget (16 exceeds it by ~8M; 4
