@@ -761,11 +761,37 @@ def render_views_blas(
             ip, ir, isc = pick(ip), pick(ir), pick(isc)
             io = (pick(io.astype(jnp.float32)) + 0.5).astype(jnp.int32)
             im = ok
-        rgb, dep = trace_scene_blas(
-            cfg, blas, ip, ir, isc, io, im,
-            o.reshape(-1, 3), d.reshape(-1, 3), materials=materials,
-            lights=lt, shadow_scene=shadow_scene,
-        )
+        rays_o = o.reshape(-1, 3)
+        rays_d = d.reshape(-1, 3)
+        n_rays = rays_o.shape[0]
+        rc = cfg.ray_chunk or (n_rays if n_rays <= 1024 else 1024)
+        if rc < n_rays:
+            # sequential ray chunks bound the (instance, ray, stack)
+            # working set — one unchunked 64x64 view over a full world
+            # batch allocates ~30 GB of traversal scratch. Exact: rays
+            # are independent.
+            if n_rays % rc:
+                raise ValueError(
+                    f"ray_chunk {rc} must divide rays/view {n_rays}"
+                )
+            ro = rays_o.reshape(-1, rc, 3)
+            rd = rays_d.reshape(-1, rc, 3)
+            rgb, dep = jax.lax.map(
+                lambda od: trace_scene_blas(
+                    cfg, blas, ip, ir, isc, io, im, od[0], od[1],
+                    materials=materials, lights=lt,
+                    shadow_scene=shadow_scene,
+                ),
+                (ro, rd),
+            )
+            rgb = rgb.reshape(n_rays, 3)
+            dep = dep.reshape(n_rays)
+        else:
+            rgb, dep = trace_scene_blas(
+                cfg, blas, ip, ir, isc, io, im,
+                rays_o, rays_d, materials=materials,
+                lights=lt, shadow_scene=shadow_scene,
+            )
         return rgb.reshape(h, w, 3), dep.reshape(h, w), n_overlap
 
     def per_world(ip, ir, isc, io, ims, lt, cps, crs):
@@ -783,10 +809,41 @@ def render_views_blas(
                                        lo=lo, hi=hi)
         )(ims, cps, crs)
 
-    rgb, dep, overlap = jax.vmap(per_world)(
-        inst_pos, inst_rot, inst_scale, inst_obj, inst_mask, lights,
-        cam_pos, cam_rot,
-    )
+    args = (inst_pos, inst_rot, inst_scale, inst_obj, inst_mask, lights,
+            cam_pos, cam_rot)
+    n_worlds = inst_pos.shape[0]
+    # world-chunk the vmapped render: the traversal working set scales
+    # with (worlds x views x rays x instances x stack); big-image whole
+    # batches exceed HBM (a 256-world 4-view 64x64 render allocates
+    # ~30+ GB unchunked). Sequential over chunks, exact.
+    # 2^17 view-ray lanes per chunk: the scanned step's BLAS walk
+    # device-faults at 256-world 4-view 16px batches (and HBM-OOMs at
+    # 64px); <=128-world-equivalent chunks are measured stable
+    budget = 1 << 17
+    per_world_rays = n_views * h * w
+    wc = max(1, min(n_worlds, budget // max(per_world_rays, 1)))
+    if wc < n_worlds and n_worlds % wc:
+        # fall back to the largest divisor <= wc
+        while n_worlds % wc:
+            wc -= 1
+    if wc < n_worlds:
+        # unrolled chunk loop (NOT lax.map): a nested scan inside the
+        # caller's step scan device-faults on this backend; the unroll
+        # compiles each chunk as straight-line code with the same
+        # bounded working set
+        outs = []
+        for c0 in range(0, n_worlds, wc):
+            ch = jax.tree_util.tree_map(
+                lambda a: a[c0:c0 + wc], args
+            )
+            outs.append(jax.vmap(per_world)(*ch))
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        rgb = cat([o[0] for o in outs])
+        dep = cat([o[1] for o in outs])
+        if k > 0:
+            return rgb, dep, cat([o[2] for o in outs])
+        return rgb, dep
+    rgb, dep, overlap = jax.vmap(per_world)(*args)
     if k > 0:
         return rgb, dep, overlap
     return rgb, dep

@@ -53,6 +53,11 @@ class RenderConfig:
     # bvh_raycast.cpp:898-912). Roughly doubles trace cost.
     shadows: bool = False
     shadow_ambient: float = 0.25   # light scale inside shadow
+    # BLAS tier: rays per sequential chunk within a view (bounds the
+    # (instance, ray, stack) device working set — one 64x64 view over
+    # a whole world batch allocates ~30 GB unchunked). 0 = auto: whole
+    # view when <= 1024 rays, else 1024-ray chunks. Must divide h*w.
+    ray_chunk: int = 0
 
 
 def resolve_tracer(cfg: RenderConfig) -> str:

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Regenerate README.md's benchmark table from bench_matrix.json.
+
+The README's measured numbers must trace to ONE committed artifact:
+run ``python scripts/bench_matrix.py`` on the TPU host (writes
+``bench_matrix.json``), commit it, then run this script to rewrite the
+table between the BENCH-TABLE markers.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- BENCH-TABLE:BEGIN (scripts/update_readme_bench.py) -->"
+END = "<!-- BENCH-TABLE:END -->"
+
+
+def fmt_rate(v):
+    if v >= 1e6:
+        return f"{v / 1e6:.2f}M"
+    return f"{v / 1e3:.1f}k"
+
+
+def main():
+    matrix_path = os.path.join(REPO, "bench_matrix.json")
+    with open(matrix_path) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    md = [
+        "| Config | Aggregate env-steps/s | vs 1M/chip target |",
+        "|---|---|---|",
+    ]
+    for r in rows:
+        if r.get("value") is None:
+            continue
+        md.append(
+            f"| {r['label']} | {fmt_rate(r['value'])} "
+            f"| {r.get('vs_baseline', 0):.2f}x |"
+        )
+    block = "\n".join([BEGIN] + md + [END])
+
+    readme = os.path.join(REPO, "README.md")
+    with open(readme) as f:
+        s = f.read()
+    if BEGIN in s:
+        pre = s[: s.index(BEGIN)]
+        post = s[s.index(END) + len(END):]
+        s = pre + block + post
+    else:
+        raise SystemExit(
+            "README.md lacks the BENCH-TABLE markers; add them around "
+            "the table first"
+        )
+    with open(readme, "w") as f:
+        f.write(s)
+    print(f"rewrote README table from {matrix_path} ({len(md) - 2} rows)")
+
+
+if __name__ == "__main__":
+    main()
