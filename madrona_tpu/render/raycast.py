@@ -53,6 +53,10 @@ class RenderConfig:
     # bvh_raycast.cpp:898-912). Roughly doubles trace cost.
     shadows: bool = False
     shadow_ambient: float = 0.25   # light scale inside shadow
+    # BLAS tier walker: "auto" picks the one-hot (MXU) walk for
+    # small/medium tables on accelerators and the gather walk
+    # otherwise; "onehot" / "gather" / "wide" force a tier.
+    blas_walker: str = "auto"
     # BLAS tier: rays per sequential chunk within a view (bounds the
     # (instance, ray, stack) device working set — one 64x64 view over
     # a whole world batch allocates ~30 GB unchunked). 0 = auto: whole

@@ -24,10 +24,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # still yields the headline numbers early.
 MATRIX = [
     ("escape_room split", {}),
-    ("escape_room fused", {"MADRONA_TPU_MEGAKERNEL_FUSED": "1"}),
-    ("escape_room fused chunk8", {
+    # the fused whole-step kernel only fits the 16M scoped VMEM at
+    # small world tiles + hh pair chunking (see tests/golden_inputs.py)
+    ("escape_room fused", {
         "MADRONA_TPU_MEGAKERNEL_FUSED": "1",
-        "MADRONA_TPU_BENCH_CHUNK": "8",
+        "MADRONA_TPU_MEGAKERNEL_TILE": "32",
+        "MADRONA_TPU_FUSED_PAIR_CHUNK": "4",
     }),
     ("escape_room split chunk8", {"MADRONA_TPU_BENCH_CHUNK": "8"}),
     ("hide_seek 16k", {"MADRONA_TPU_BENCH_ENV": "hide_seek"}),
@@ -64,19 +66,11 @@ MATRIX = [
         "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
         "MADRONA_TPU_BENCH_WORLDS": "256",
     }),
-    ("hs_pixels 64 blas wide", {
+    ("hs_pixels 16 blas", {
         "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
         "MADRONA_TPU_BENCH_RENDER_TIER": "blas",
-        "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
+        "MADRONA_TPU_BENCH_RENDER_SIZE": "16",
         "MADRONA_TPU_BENCH_WORLDS": "256",
-        "MADRONA_TPU_BLAS_WIDE": "1",
-    }),
-    ("hs_pixels 64 blas wide-bf16", {
-        "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",
-        "MADRONA_TPU_BENCH_RENDER_TIER": "blas",
-        "MADRONA_TPU_BENCH_RENDER_SIZE": "64",
-        "MADRONA_TPU_BENCH_WORLDS": "256",
-        "MADRONA_TPU_BLAS_WIDE": "bf16",
     }),
 ]
 

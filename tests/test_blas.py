@@ -387,3 +387,37 @@ def test_bf16_outward_rounding_is_conservative():
     # infinities (padding boxes) must survive exactly
     assert lo_q[~fin][np.isinf(lo[~fin])].tolist() == \
         lo[~fin][np.isinf(lo[~fin])].tolist()
+
+
+def test_onehot_walker_matches_gather_walker(sphere_bvh, terrain_bvh):
+    """trace_rays_blas_onehot replaces every per-lane gather/scatter
+    with one-hot MXU/VPU ops but walks the SAME tree in the SAME order;
+    hits must match the gather walker exactly (HIGHEST-precision
+    one-hot matmuls fetch table rows bit-exactly)."""
+    from madrona_tpu.render.blas import trace_rays_blas_onehot
+
+    sb, _, _ = sphere_bvh
+    tb, _, _ = terrain_bvh
+    blas = bake_blas([sb, tb], colors=[(1, 0, 0), (0, 1, 0)])
+    rs = np.random.RandomState(5)
+    b = 256
+    obj = jnp.asarray(rs.randint(0, 2, b).astype(np.int32))
+    o = jnp.asarray(
+        rs.uniform(-3, 3, (b, 3)).astype(np.float32) + [0, 0, 4]
+    )
+    d = rs.randn(b, 3).astype(np.float32)
+    d[:, 2] -= 1.5
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    live = jnp.asarray(rs.rand(b) < 0.9)
+
+    t0, tri0, u0, v0 = jax.jit(
+        lambda *a: trace_rays_blas(blas, *a, 50.0)
+    )(obj, o, d, live)
+    t1, tri1, u1, v1 = jax.jit(
+        lambda *a: trace_rays_blas_onehot(blas, *a, 50.0)
+    )(obj, o, d, live)
+    np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
