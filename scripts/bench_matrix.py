@@ -24,12 +24,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # still yields the headline numbers early.
 MATRIX = [
     ("escape_room split", {}),
-    # the fused whole-step kernel only fits the 16M scoped VMEM at
-    # small world tiles + hh pair chunking (see tests/golden_inputs.py)
+    # the fused whole-step kernel fits the 16M scoped VMEM at tile 128
+    # only with hh pair chunking (chunk 2); measured 1.007M steps/s —
+    # the split path (broadphase+contacts+solver kernels) stays faster
     ("escape_room fused", {
         "MADRONA_TPU_MEGAKERNEL_FUSED": "1",
-        "MADRONA_TPU_MEGAKERNEL_TILE": "32",
-        "MADRONA_TPU_FUSED_PAIR_CHUNK": "4",
+        "MADRONA_TPU_FUSED_PAIR_CHUNK": "2",
     }),
     ("escape_room split chunk8", {"MADRONA_TPU_BENCH_CHUNK": "8"}),
     ("hide_seek 16k", {"MADRONA_TPU_BENCH_ENV": "hide_seek"}),
@@ -102,7 +102,20 @@ def main():
     ap.add_argument("--timeout", type=int, default=1800)
     args = ap.parse_args()
 
-    rows = []
+    # merge mode: a partial run (--only/--quick) must not clobber rows
+    # from the last full run — preload and replace by label
+    path = os.path.join(REPO, "bench_matrix.json")
+    prior = []
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = [json.loads(l) for l in f if l.strip()]
+    run_labels = {
+        label for label, _ in MATRIX
+        if (not args.only or args.only in label)
+        and (not args.quick or label in QUICK)
+        and (args.sweep or args.only or not label.startswith(SWEEP_PREFIXES))
+    }
+    rows = [r for r in prior if r["label"] not in run_labels]
     for label, extra in MATRIX:
         if args.only and args.only not in label:
             continue
@@ -135,7 +148,7 @@ def main():
         rows.append(rec)
         # flush incrementally: a later row's failure must not lose
         # hours of completed TPU rows
-        with open(os.path.join(REPO, "bench_matrix.json"), "w") as f:
+        with open(path, "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
         val = rec.get("value", rec.get("error", "?"))
