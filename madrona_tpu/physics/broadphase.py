@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import math3d as m3
 from . import geo
@@ -151,16 +152,38 @@ def _typed_compact(
                 used[..., None], filled, jnp.float32(n)
             ).astype(jnp.int32)
         else:
-            from ..ops import scatter as _scatter
-
-            widx_p = jnp.broadcast_to(
-                jnp.arange(w_)[:, None], mask.shape
-            )
-            buf = _scatter.masked_set_2d(
-                jnp.full((w_, cap, 2), n, jnp.int32),
-                widx_p, pos, pair.astype(jnp.int32),
-                mask & (pos < cap),
-            )
+            # large tier (swept-broadphase scale: P*cap up to ~20M
+            # cells): the c-th hit lives at the FIRST index whose
+            # inclusive mask-cumsum equals c+1 — a per-world
+            # searchsorted over the nondecreasing cumsum + one gather
+            # per slot. Bit-identical output to the one-hot tier at
+            # O(cap log P) instead of a multi-million-update scatter
+            # (XLA lowers those to sort chains; measured 60+ ms/step
+            # on the 256-body pile at 64 worlds).
+            pos_inc = pos + mi                               # inclusive
+            targets = jnp.arange(1, cap + 1)
+            # manual unrolled binary search (first idx with
+            # pos_inc >= target): log2(P) static steps of [W, cap]
+            # take_along_axis — XLA's searchsorted lowers to a serial
+            # while loop that measured 12+ ms/tier at this scale
+            p_len = mask.shape[1]
+            lo = jnp.zeros((w_, cap), jnp.int32)
+            hi = jnp.full((w_, cap), p_len, jnp.int32)
+            steps = max(1, int(np.ceil(np.log2(max(p_len, 2)))))
+            for _ in range(steps):
+                mid = (lo + hi) >> 1
+                vm = jnp.take_along_axis(
+                    pos_inc, jnp.minimum(mid, p_len - 1), axis=1
+                )
+                go_right = vm < targets[None]
+                lo = jnp.where(go_right, mid + 1, lo)
+                hi = jnp.where(go_right, hi, mid)
+            idx_c = jnp.minimum(lo, p_len - 1)
+            got = jnp.take_along_axis(pos_inc, idx_c, axis=1) == targets
+            vals = jnp.take_along_axis(
+                pair.astype(jnp.int32), idx_c[..., None], axis=1
+            )                                                # [W, cap, 2]
+            buf = jnp.where(got[..., None], vals, n)
         return buf, count, saturated
 
     hh, hh_num, hh_sat = compact(is_hh, caps.hull_hull)
@@ -309,9 +332,35 @@ def find_candidates_swept(
     span = reach - jnp.arange(n)[None, :] - 1                # partners after i
     overflow = jnp.any(s_live & (span > window), axis=1)     # [W]
 
-    firsts, seconds, hits = [first_large], [second_large], [hit_large]
+    # ---- typed hit masks per block, WITHOUT materializing [W, P]
+    # pair-value/type arrays (the old concat of 80 shifted [W, N] row
+    # copies lowered to ~32 ms of layout-churning fusions at pile
+    # scale); pair rows/types are reconstructed ONLY at the <= cap
+    # selected indices (pair_at below). Block order [large | k=1..K]
+    # matches the old enumeration, so compaction order is unchanged.
+    s_type = ptype[widx, order]                              # [W, N]
+    li_type = ptype[widx, large_idx]                         # [W, L]
+
+    def typed(hit, ta, tb):
+        t_lo = jnp.minimum(ta, tb)
+        t_hi = jnp.maximum(ta, tb)
+        code = t_lo | t_hi
+        return (
+            hit & (code == (geo.TYPE_HULL | geo.TYPE_HULL)),
+            hit & (code == (geo.TYPE_HULL | geo.TYPE_PLANE)),
+            hit & (t_lo == geo.TYPE_SPHERE) & (t_hi != geo.TYPE_NONE),
+        )
+
+    hh_l, hp_l, sp_l = typed(
+        hit_large.reshape(w, l_slots, n),
+        li_type[:, :, None], ptype[:, None, :],
+    )
+    hh_m = [hh_l.reshape(w, -1)]
+    hp_m = [hp_l.reshape(w, -1)]
+    sp_m = [sp_l.reshape(w, -1)]
     idx = jnp.arange(n)
-    for k in range(1, min(window, n - 1) + 1):
+    k_max = min(window, n - 1)
+    for k in range(1, k_max + 1):
         j = idx + k
         valid = j < n
         jc = jnp.minimum(j, n - 1)
@@ -323,16 +372,77 @@ def find_candidates_swept(
         overlap = jnp.all((a_lo <= b_hi) & (b_lo <= a_hi), axis=-1)
         pair_live = s_live & s_live[:, jc]
         both_static = s_static & s_static[:, jc]
-        hits.append(
+        hit_k = (
             overlap & x_live & pair_live & ~both_static & valid[None, :]
         )
-        firsts.append(order)                 # original rows
-        seconds.append(order[:, jc])
-    first = jnp.concatenate(firsts, axis=1)                  # [W, L*N+N*K]
-    second = jnp.concatenate(seconds, axis=1)
-    hit = jnp.concatenate(hits, axis=1)
-    return _typed_compact(
-        first, second, hit, ptype, n, caps, overflow=overflow
+        hh_k, hp_k, sp_k = typed(hit_k, s_type, s_type[:, jc])
+        hh_m.append(hh_k)
+        hp_m.append(hp_k)
+        sp_m.append(sp_k)
+
+    ln = l_slots * n
+    nc = jnp.clip  # brevity
+
+    def pair_at(idx_c):
+        """Reconstruct (first, second, second_type) at selected flat
+        pair indices [W, cap] — the lazy inverse of the block
+        enumeration, ordered lower-type-code-first (reference swap)."""
+        in_large = idx_c < ln
+        li = nc(idx_c, 0, max(ln - 1, 0))
+        f_l = jnp.take_along_axis(large_idx, li // n, axis=1)
+        s_l = li % n
+        ps = nc(idx_c - ln, 0, k_max * n - 1)
+        k_s = ps // n + 1
+        i_s = ps % n
+        j_s = jnp.minimum(i_s + k_s, n - 1)
+        f_s = jnp.take_along_axis(order, i_s, axis=1)
+        s_s = jnp.take_along_axis(order, j_s, axis=1)
+        f = jnp.where(in_large, f_l, f_s)
+        s = jnp.where(in_large, s_l, s_s)
+        tf = jnp.take_along_axis(ptype, nc(f, 0, n - 1), axis=1)
+        ts = jnp.take_along_axis(ptype, nc(s, 0, n - 1), axis=1)
+        sw = tf > ts
+        return (
+            jnp.where(sw, s, f), jnp.where(sw, f, s),
+            jnp.maximum(tf, ts),
+        )
+
+    def compact_lazy(masks, cap):
+        mask = jnp.concatenate(masks, axis=1)                # [W, P] pred
+        mi = mask.astype(jnp.int32)
+        pos_inc = jnp.cumsum(mi, axis=1)
+        total = pos_inc[:, -1]
+        count = jnp.minimum(total, cap)
+        saturated = total > cap
+        p_len = mask.shape[1]
+        targets = jnp.arange(1, cap + 1)
+        lo_i = jnp.zeros((w, cap), jnp.int32)
+        hi_i = jnp.full((w, cap), p_len, jnp.int32)
+        steps = max(1, int(np.ceil(np.log2(max(p_len, 2)))))
+        for _ in range(steps):
+            mid = (lo_i + hi_i) >> 1
+            vm = jnp.take_along_axis(
+                pos_inc, jnp.minimum(mid, p_len - 1), axis=1
+            )
+            go_right = vm < targets[None]
+            lo_i = jnp.where(go_right, mid + 1, lo_i)
+            hi_i = jnp.where(go_right, hi_i, mid)
+        idx_c = jnp.minimum(lo_i, p_len - 1)
+        got = jnp.take_along_axis(pos_inc, idx_c, axis=1) == targets
+        f, s, t2 = pair_at(idx_c)
+        buf = jnp.stack(
+            [jnp.where(got, f, n), jnp.where(got, s, n)], axis=-1
+        ).astype(jnp.int32)
+        kind = jnp.where(got, t2, geo.TYPE_NONE)
+        return buf, count, saturated, kind
+
+    hh, hh_num, hh_sat, _ = compact_lazy(hh_m, caps.hull_hull)
+    hp, hp_num, hp_sat, _ = compact_lazy(hp_m, caps.hull_plane)
+    sp, sp_num, sp_sat, sp_kind = compact_lazy(sp_m, caps.sphere_any)
+    return Candidates(
+        hh=hh, hh_num=hh_num, hp=hp, hp_num=hp_num,
+        sp=sp, sp_num=sp_num, sp_kind=sp_kind.astype(jnp.int32),
+        overflow=overflow | hh_sat | hp_sat | sp_sat,
     )
 
 

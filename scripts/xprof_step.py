@@ -43,6 +43,8 @@ def main():
         from madrona_tpu.models.hide_seek import HideSeek as Env
     elif args.env == "cartpole":
         from madrona_tpu.models.cartpole import Cartpole as Env
+    elif args.env == "pile":
+        from madrona_tpu.models.pile import Pile as Env
     else:
         raise SystemExit(f"unknown env {args.env}")
 
