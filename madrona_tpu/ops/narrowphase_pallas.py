@@ -644,7 +644,7 @@ def _argmin_ax1(score, *planes):
     return -mx, picked
 
 
-def _unpack_hull_s(hrow, dims):
+def _unpack_hull_s(hrow, dims, n_dirs=0):
     """hrow [PT, K, TW] (component-PLANAR layout, bodies._pack_hull_planar)
     -> component planes with a leading pair axis. Only contiguous 2-D
     slices (Mosaic cannot slice interior dims of >=3-D tiles)."""
@@ -678,6 +678,13 @@ def _unpack_hull_s(hrow, dims):
     h["face_poly_mask"] = hrow[:, off:off + f * fv].reshape(
         (hrow.shape[0], f, fv, hrow.shape[-1])
     ) > 0.5
+    off += f * fv
+    if n_dirs:
+        # appended dir block (bodies._pack_hull_planar dir_tabs tail):
+        # unique edge directions + mask + per-edge dir id
+        h["edge_dirs"] = cut3(n_dirs)
+        h["edge_dirs_mask"] = cut(n_dirs) > 0.5
+        h["edge_dir_id"] = cut(e)
     return h
 
 
@@ -728,6 +735,19 @@ def _world_s(h, pos, rot, scale):
         / denom
         for i in range(3)
     )
+    if "edge_dirs" in h:
+        # direction of a scaled edge: S*d then rotate (NOT the normal
+        # transform); left unnormalized — the SAT axis is normalized
+        # after the cross product anyway
+        d = h["edge_dirs"]
+        sc = tuple(
+            d[i] * scale[i].reshape(bshape(d[i])) for i in range(3)
+        )
+        out["edge_dirs"] = _qrot(
+            tuple(q.reshape(bshape(d[0])) for q in rot), sc
+        )
+        out["edge_dirs_mask"] = h["edge_dirs_mask"]
+        out["edge_dir_id"] = h["edge_dir_id"]
     return out
 
 
@@ -808,6 +828,90 @@ def _edge_query_s(a, b, e, chunk: int = 3):
 
     p = best_planes
     return (best_sep, p[0:3], p[3:6], p[6:9], p[9:12], p[12:15])
+
+
+def _edge_query_dirs_s(a, b, e, n_dirs):
+    """Edge query over unique DIRECTION pairs (PhysicsConfig.sat_tier=
+    "edge_dirs"): the edge-edge SAT axis family is {cross(da, db)} over
+    edge directions, so D_a*D_b axes (box-box: 9) replace the E_a*E_b
+    Gauss-map pair sweep (144) — the reference iterates edge pairs with
+    a per-pair Minkowski-face test (src/physics/narrowphase.cpp doSAT),
+    which a masked TPU sweep pays for in full. Separation per axis is
+    support-based (min_B - max_A along the unit axis, exact SAT);
+    witness edges are the supporting edges of the winning direction
+    class. For separated pairs this equals the Gauss-map result; for
+    deep penetration the winning axis may differ from the reference's
+    (documented deviation; behavior suites validate).
+
+    Returns the same tuple as _edge_query_s: (sep, n, pa1, pa2, pb1,
+    pb2)."""
+    pt, _, tw = a["edge_p1"][0].shape
+
+    best_sep = jnp.full((pt, tw), NEG_BIG)
+    best = tuple(jnp.zeros((pt, tw)) for _ in range(5))  # n(3), i, j
+
+    c_ab = _vsub(b["center"], a["center"])               # [PT, TW]
+    va = a["verts"]                                      # [PT, V, TW]
+    vb = b["verts"]
+    va_mask = a["verts_mask"]
+    vb_mask = b["verts_mask"]
+
+    for i in range(n_dirs):
+        da = tuple(x[:, i] for x in a["edge_dirs"])      # [PT, TW]
+        ma = a["edge_dirs_mask"][:, i]
+        for j in range(n_dirs):
+            db = tuple(x[:, j] for x in b["edge_dirs"])
+            mb = b["edge_dirs_mask"][:, j]
+            ax = _vcross(da, db)
+            len2 = _vdot(ax, ax)
+            ok = ma & mb & (len2 > 1e-12)
+            inv = jax.lax.rsqrt(jnp.maximum(len2, 1e-30))
+            n = tuple(c * inv for c in ax)
+            # orient outward from A (toward B's center)
+            flip = jnp.where(_vdot(n, c_ab) < 0.0, -1.0, 1.0)
+            n = tuple(c * flip for c in n)
+            nb3 = tuple(x[:, None, :] for x in n)        # [PT, 1, TW]
+            dots_a = _vdot(nb3, va)                      # [PT, V, TW]
+            dots_b = _vdot(nb3, vb)
+            max_a = jnp.max(jnp.where(va_mask, dots_a, NEG_BIG), axis=1)
+            min_b = jnp.min(jnp.where(vb_mask, dots_b, BIG), axis=1)
+            sep = jnp.where(ok, min_b - max_a, NEG_BIG)
+            better = sep > best_sep
+            cand = n + (jnp.float32(i) * jnp.ones_like(sep),
+                        jnp.float32(j) * jnp.ones_like(sep))
+            best = tuple(
+                jnp.where(better, c, o) for c, o in zip(cand, best)
+            )
+            best_sep = jnp.where(better, sep, best_sep)
+
+    n = best[0:3]
+    i_star = best[3]
+    j_star = best[4]
+
+    def witness(h, dir_star, axis, pick_max):
+        """Supporting edge of the winning direction class along the
+        (oriented) axis: among edges with dir id == dir_star, the one
+        whose midpoint is extremal."""
+        mid = tuple(
+            0.5 * (h["edge_p1"][k] + h["edge_p2"][k]) for k in range(3)
+        )
+        axb = tuple(x[:, None, :] for x in axis)
+        score = _vdot(axb, mid)                          # [PT, E, TW]
+        if not pick_max:
+            score = -score
+        in_class = (
+            jnp.abs(h["edge_dir_id"] - dir_star[:, None, :]) < 0.5
+        )
+        usable = in_class & h["edges_mask"]
+        score = jnp.where(usable, score, NEG_BIG)
+        _, picked = _argmax_ax1(
+            score, *(h["edge_p1"] + h["edge_p2"])
+        )
+        return picked[0:3], picked[3:6]
+
+    pa1, pa2 = witness(a, i_star, n, True)
+    pb1, pb2 = witness(b, j_star, n, False)
+    return best_sep, n, pa1, pa2, pb1, pb2
 
 
 def _poly_next_s(poly, mask, fv):
@@ -944,7 +1048,8 @@ def _face_manifold_s(ref_poly, ref_mask, ref_n, ref_d, other, dims):
     return _reduce4_s(proj, -d, below, ref_n, fv + fv * fv)
 
 
-def hh_sat_planes(dims, n_bodies, n_obj, rows_a, rows_b, nb, obj, pack):
+def hh_sat_planes(dims, n_bodies, n_obj, rows_a, rows_b, nb, obj, pack,
+                  n_dirs=0):
     """The SAT body of the sublane kernel as a pure planes->planes
     function, reusable from other kernels (the fused physics-step
     megakernel calls it per pair chunk — ops/physics_megakernel.py).
@@ -990,12 +1095,26 @@ def hh_sat_planes(dims, n_bodies, n_obj, rows_a, rows_b, nb, obj, pack):
 
     pa, qa, sa = split_blk(blk_a)
     pb, qb, sb = split_blk(blk_b)
-    ha = _world_s(_unpack_hull_s(hrow_a, dims), pa, qa, sa)
-    hb = _world_s(_unpack_hull_s(hrow_b, dims), pb, qb, sb)
+    ha = _world_s(_unpack_hull_s(hrow_a, dims, n_dirs), pa, qa, sa)
+    hb = _world_s(_unpack_hull_s(hrow_b, dims, n_dirs), pb, qb, sb)
 
     sep_a, seps_a = _support_sep_s(ha, hb)
     sep_b, seps_b = _support_sep_s(hb, ha)
-    sep_e, n_e, pa1, pa2, pb1, pb2 = _edge_query_s(ha, hb, e)
+    import os as _os
+    if _os.environ.get("MADRONA_TPU_SKIP_EDGE_QUERY"):
+        # DEBUG/profiling only: face-only SAT (wrong physics for
+        # edge-edge contacts; used to attribute kernel time)
+        z = jnp.zeros_like(sep_a)
+        zv = (z, z, z)
+        sep_e, n_e, pa1, pa2, pb1, pb2 = (
+            jnp.full_like(sep_a, NEG_BIG), zv, zv, zv, zv, zv
+        )
+    elif n_dirs:
+        sep_e, n_e, pa1, pa2, pb1, pb2 = _edge_query_dirs_s(
+            ha, hb, e, n_dirs
+        )
+    else:
+        sep_e, n_e, pa1, pa2, pb1, pb2 = _edge_query_s(ha, hb, e)
     separated = (sep_a > 0.0) | (sep_b > 0.0) | (sep_e > 0.0)
     is_face = (sep_a > sep_e) | (sep_b > sep_e)
     a_is_ref = sep_a >= sep_b
@@ -1090,13 +1209,13 @@ def hh_sat_planes(dims, n_bodies, n_obj, rows_a, rows_b, nb, obj, pack):
     )
 
 
-def _hh_kernel_sublane(dims, n_bodies, n_obj, rows_a_ref, rows_b_ref,
-                       nb_ref, obj_ref, pack_ref, out_ref):
+def _hh_kernel_sublane(dims, n_bodies, n_obj, n_dirs, rows_a_ref,
+                       rows_b_ref, nb_ref, obj_ref, pack_ref, out_ref):
     # pairs arrive as two [PT, TW] blocks (removing the middle dim of a
     # [PT, 2, TW] tile is an unsupported Mosaic relayout)
     c = hh_sat_planes(
         dims, n_bodies, n_obj, rows_a_ref[:], rows_b_ref[:],
-        nb_ref[:], obj_ref[:], pack_ref[:],
+        nb_ref[:], obj_ref[:], pack_ref[:], n_dirs=n_dirs,
     )
     rec = jnp.concatenate(
         [
@@ -1112,11 +1231,14 @@ def _hh_kernel_sublane(dims, n_bodies, n_obj, rows_a_ref, rows_b_ref,
 
 def make_hh_narrowphase_sublane(dims, n_bodies, n_obj, pair_tile: int = 0,
                                 tile_w: int = 128, interpret: bool = False,
-                                vmem_limit_mb: int = 0):
+                                vmem_limit_mb: int = 0, n_dirs: int = 0):
     """Pairs-in-sublanes kernel builder (see module note). Returns
     fn(nb_t [N,10,W], obj_t [N,W] f32, pairs_t [P,2,W] i32, hull_pack)
-    -> record [P, 22, W] f32."""
-    kern = functools.partial(_hh_kernel_sublane, dims, n_bodies, n_obj)
+    -> record [P, 22, W] f32. n_dirs > 0 selects the edge-direction
+    SAT tier (_edge_query_dirs_s)."""
+    kern = functools.partial(
+        _hh_kernel_sublane, dims, n_bodies, n_obj, n_dirs
+    )
 
     def run(nb_t, obj_t, pairs_t, hull_pack):
         n, _, w = nb_t.shape

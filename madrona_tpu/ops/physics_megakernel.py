@@ -286,7 +286,7 @@ def _sp_contacts(dims, n, n_obj, rows_s, rows_o, kind, comps, obj, rad,
 
 def _fused_kernel(dims, n_bodies, n_obj, n_joints, substeps, iters, h,
                   gravity, restitution, restitution_threshold, loop,
-                  pair_chunk, type_plane, type_hull, *refs):
+                  pair_chunk, type_plane, type_hull, n_dirs, *refs):
     n = n_bodies
     if n_joints > 0:
         (state_ref, aux_ref, param_ref, obj_ref, hh_a_ref, hh_b_ref,
@@ -342,6 +342,7 @@ def _fused_kernel(dims, n_bodies, n_obj, n_joints, substeps, iters, h,
         hh_parts.append(npk.hh_sat_planes(
             dims, n, n_obj,
             hh_a[c0:c0 + chunk], hh_b[c0:c0 + chunk], nb, obj, pack,
+            n_dirs=n_dirs,
         ))
 
     hp = _hp_contacts(
@@ -486,7 +487,8 @@ def make_fused_step(dims, n_bodies, n_obj, substeps, iters, h, gravity,
                     type_plane, type_hull,
                     n_joints: int = 0, tile_w: int = 128,
                     interpret: bool = False, loop: bool = False,
-                    pair_chunk: int = 0, vmem_limit_mb: int = 0):
+                    pair_chunk: int = 0, vmem_limit_mb: int = 0,
+                    n_dirs: int = 0):
     """Build the jitted fused physics-step kernel.
 
     fn(state_t [STATE_F,N,W], aux_t [AUX_F,N,W], param_t [PARAM_F,N,W],
@@ -498,7 +500,7 @@ def make_fused_step(dims, n_bodies, n_obj, substeps, iters, h, gravity,
         _fused_kernel, dims, n_bodies, n_obj, n_joints, substeps, iters,
         float(h), tuple(float(x) for x in gravity), float(restitution),
         float(restitution_threshold), loop, pair_chunk,
-        int(type_plane), int(type_hull),
+        int(type_plane), int(type_hull), int(n_dirs),
     )
 
     def run(state_t, aux_t, param_t, obj_t, hh_a, hh_b, hp_h, hp_p,
@@ -555,8 +557,8 @@ def make_fused_step(dims, n_bodies, n_obj, substeps, iters, h, gravity,
 # --------------------------------------------------- contacts megakernel
 
 
-def _contacts_kernel(dims, n, n_obj, hh_a_ref, hh_b_ref, hp_h_ref,
-                     hp_p_ref, nb_ref, obj_ref, pack_ref,
+def _contacts_kernel(dims, n, n_obj, n_dirs, hh_a_ref, hh_b_ref,
+                     hp_h_ref, hp_p_ref, nb_ref, obj_ref, pack_ref,
                      ref_out, alt_out, con_out, pts_out, num_out):
     """Narrowphase (hh SAT + hull-plane lane) + contact reduction in one
     kernel, emitting the solver megakernel's planar inputs directly.
@@ -574,7 +576,8 @@ def _contacts_kernel(dims, n, n_obj, hh_a_ref, hh_b_ref, hp_h_ref,
     pack = pack_ref[:]
 
     hh = npk.hh_sat_planes(
-        dims, n, n_obj, hh_a_ref[:], hh_b_ref[:], nb3, obj, pack
+        dims, n, n_obj, hh_a_ref[:], hh_b_ref[:], nb3, obj, pack,
+        n_dirs=n_dirs,
     )
     comps = tuple(nb3[:, i] for i in range(10))
     hp = _hp_contacts(
@@ -637,7 +640,8 @@ def _contacts_kernel(dims, n, n_obj, hh_a_ref, hh_b_ref, hp_h_ref,
 
 
 def make_contacts_kernel(dims, n_bodies, n_obj, tile_w: int = 128,
-                         interpret: bool = False, vmem_limit_mb: int = 0):
+                         interpret: bool = False, vmem_limit_mb: int = 0,
+                         n_dirs: int = 0):
     """Build the narrowphase+assembly kernel.
 
     fn(hh_a [PH, W] i32, hh_b, hp_h [PP, W] i32, hp_p,
@@ -647,7 +651,9 @@ def make_contacts_kernel(dims, n_bodies, n_obj, tile_w: int = 128,
         pts [PTS_F, C, W], num [C, W] i32)   with C = PH + PP,
     exactly the planar inputs of ops/solver_pallas.make_substep_solver.
     """
-    kern = functools.partial(_contacts_kernel, dims, n_bodies, n_obj)
+    kern = functools.partial(
+        _contacts_kernel, dims, n_bodies, n_obj, n_dirs
+    )
 
     def run(hh_a, hh_b, hp_h, hp_p, nb_t, obj_t, pack):
         n, _, w = nb_t.shape

@@ -212,7 +212,7 @@ def write_back(sm: StateManager, state: SimState, body: BodyState) -> SimState:
 
 def _narrowphase_all(
     body: BodyState, om: ObjectManager, cands: bp.Candidates,
-    skip_hh: bool = False,
+    skip_hh: bool = False, sat_dirs: bool = False,
 ) -> Contacts:
     """Run the typed narrowphase kernels over the candidate buffers and
     emit the fixed-layout contact buffer (segments: [HH | HP | S]).
@@ -228,6 +228,7 @@ def _narrowphase_all(
         [body.pos, body.rot, body.scale], axis=-1
     )  # [W, N, 10]
     obj_oh_tbl = jax.nn.one_hot(body.obj_id, n_obj)     # [W, N, O]
+    nd = om.n_edge_dirs if sat_dirs else 0
 
     def pair_blocks(rows):
         """Per-pair packed data via one-hot einsums (TPU gathers re-read
@@ -248,17 +249,27 @@ def _narrowphase_all(
             "wpo,o->wp", obj_oh, om.sphere_radius,
             preferred_element_type=jnp.float32,
         )
-        return blk, hrow, srad
+        drow = None
+        if nd:
+            drow = jnp.einsum(
+                "wpo,ok->wpk", obj_oh, om.hull_dirs_pack,
+                preferred_element_type=jnp.float32,
+            )
+        return blk, hrow, srad, drow
 
     def split(blk):
         return blk[0:3], blk[3:7], blk[7:10]
 
     # --- hull-hull kernel
-    def hh_lane(blk_a, hrow_a, blk_b, hrow_b, pair):
+    def hh_lane(blk_a, hrow_a, drow_a, blk_b, hrow_b, drow_b, pair):
         pa, qa, sa = split(blk_a)
         pb, qb, sb = split(blk_b)
-        ha = np_.hull_row_to_world(hrow_a, dims, pa, qa, sa)
-        hb = np_.hull_row_to_world(hrow_b, dims, pb, qb, sb)
+        ha = np_.hull_row_to_world(
+            hrow_a, dims, pa, qa, sa, dirs_row=drow_a, n_dirs=nd
+        )
+        hb = np_.hull_row_to_world(
+            hrow_b, dims, pb, qb, sb, dirs_row=drow_b, n_dirs=nd
+        )
         c = np_.hull_hull_contact(ha, hb)
         ref = jnp.where(c["ref_is_a"], pair[0], pair[1])
         alt = jnp.where(c["ref_is_a"], pair[1], pair[0])
@@ -319,12 +330,21 @@ def _narrowphase_all(
             jnp.zeros((w, p_hh, 3), jnp.float32),
         )
     else:
-        blk_a, hrow_a, rad_a = pair_blocks(cands.hh[..., 0])
-        blk_b, hrow_b, _ = pair_blocks(cands.hh[..., 1])
-        hh = vv(hh_lane)(blk_a, hrow_a, blk_b, hrow_b, cands.hh)
+        blk_a, hrow_a, rad_a, drow_a = pair_blocks(cands.hh[..., 0])
+        blk_b, hrow_b, _, drow_b = pair_blocks(cands.hh[..., 1])
+        if nd:
+            hh = vv(hh_lane)(
+                blk_a, hrow_a, drow_a, blk_b, hrow_b, drow_b, cands.hh
+            )
+        else:
+            hh = vv(
+                lambda ba, hra, bb, hrb, pr: hh_lane(
+                    ba, hra, None, bb, hrb, None, pr
+                )
+            )(blk_a, hrow_a, blk_b, hrow_b, cands.hh)
 
-    blk_a, hrow_a, _ = pair_blocks(cands.hp[..., 0])
-    blk_b, _, _ = pair_blocks(cands.hp[..., 1])
+    blk_a, hrow_a, _, _ = pair_blocks(cands.hp[..., 0])
+    blk_b, _, _, _ = pair_blocks(cands.hp[..., 1])
     hp = vv(hp_lane)(blk_a, hrow_a, blk_b, cands.hp)
 
     if cands.sp.shape[1] == 0:
@@ -338,8 +358,8 @@ def _narrowphase_all(
             jnp.zeros((w, 0, 3), jnp.float32),
         )
     else:
-        blk_a, _, rad_a = pair_blocks(cands.sp[..., 0])
-        blk_b, hrow_b, rad_b = pair_blocks(cands.sp[..., 1])
+        blk_a, _, rad_a, _ = pair_blocks(cands.sp[..., 0])
+        blk_b, hrow_b, rad_b, _ = pair_blocks(cands.sp[..., 1])
         sp = vv(sp_lane)(
             blk_a, rad_a, blk_b, hrow_b, rad_b, cands.sp, cands.sp_kind
         )
@@ -355,13 +375,14 @@ def _narrowphase_all(
 def _narrowphase_mixed_pallas(
     body: BodyState, om: ObjectManager, cands: bp.Candidates,
     sublane: bool = False, pair_tile: int = 8, vmem_limit_mb: int = 0,
+    sat_dirs: bool = False,
 ) -> Contacts:
     """Contacts with the hull-hull lane on the Pallas kernel and the
     cheap hull-plane / sphere lanes on the XLA path."""
     full = _narrowphase_all(body, om, cands, skip_hh=True)
     ref, alt, points, num, normal = narrowphase_hh_pallas(
         body, om, cands, sublane=sublane, pair_tile=pair_tile,
-        vmem_limit_mb=vmem_limit_mb,
+        vmem_limit_mb=vmem_limit_mb, sat_dirs=sat_dirs,
     )
     p = cands.hh.shape[1]
     return Contacts(
@@ -569,6 +590,7 @@ def megakernel_fused_step(body: BodyState, cands: bp.Candidates, om, cfg,
         n_joints=n_joints, tile_w=min(tile_w, w), interpret=interpret,
         loop=cfg.megakernel_loop, pair_chunk=cfg.fused_pair_chunk,
         vmem_limit_mb=cfg.megakernel_vmem_mb,
+        n_dirs=om.n_edge_dirs if cfg.sat_tier == "edge_dirs" else 0,
     )
     out = fn(
         t3(state_t), t3(aux_t), t3(param_t),
@@ -604,13 +626,16 @@ def make_physics_node(
     use_pallas = cfg.narrowphase in ("pallas", "pallas_sublane")
     sublane = cfg.narrowphase == "pallas_sublane"
 
+    use_dirs = cfg.sat_tier == "edge_dirs"
+    nd_sat = om.n_edge_dirs if use_dirs else 0
+
     def narrow(body, cands):
         if not use_pallas:
-            return _narrowphase_all(body, om, cands)
+            return _narrowphase_all(body, om, cands, sat_dirs=use_dirs)
         return _narrowphase_mixed_pallas(
             body, om, cands, sublane=sublane,
             pair_tile=cfg.narrowphase_pair_tile,
-            vmem_limit_mb=cfg.narrowphase_vmem_mb,
+            vmem_limit_mb=cfg.narrowphase_vmem_mb, sat_dirs=use_dirs,
         )
 
     def physics_step(sm_, state: SimState, node_key) -> SimState:
@@ -734,6 +759,7 @@ def make_physics_node(
                 tile_w=min(cfg.megakernel_tile, w_),
                 interpret=interp,
                 vmem_limit_mb=cfg.narrowphase_vmem_mb,
+                n_dirs=nd_sat,
             )
             planar = fnc(
                 t2_(cands.hh[..., 0]), t2_(cands.hh[..., 1]),
@@ -840,7 +866,8 @@ def setup_physics_step_tasks(
 
 
 def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
-                          sublane=False, pair_tile=8, vmem_limit_mb=0):
+                          sublane=False, pair_tile=8, vmem_limit_mb=0,
+                          sat_dirs=False):
     """Pallas-kernel hull-hull lane (ops/narrowphase_pallas): same
     outputs as the hh segment of _narrowphase_all. ``sublane=True``
     selects the pairs-in-sublanes variant (pair axis padded to the
@@ -864,6 +891,7 @@ def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
             om.hull_dims, n, om.hull_pack.shape[0], pair_tile=pt,
             tile_w=min(128, w), interpret=interpret,
             vmem_limit_mb=vmem_limit_mb,
+            n_dirs=om.n_edge_dirs if sat_dirs else 0,
         )
         rec = fn(nb_t, obj_t, pairs_t, om.hull_pack_planar)[:p_real]
     else:

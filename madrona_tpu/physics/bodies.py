@@ -84,6 +84,17 @@ class ObjectManager:
     mu_d: jnp.ndarray             # [O] f32
     local_aabb_min: jnp.ndarray   # [O, 3]
     local_aabb_max: jnp.ndarray   # [O, 3]
+    # unique edge DIRECTIONS (geo.unique_edge_dirs): the edge-edge SAT
+    # axis family deduped by parallel class — boxes collapse 12 edges
+    # to 3 directions, so the direction-pair sweep is D_a*D_b axes
+    # instead of E_a*E_b (PhysicsConfig.sat_tier="edge_dirs")
+    hull_edge_dirs: jnp.ndarray = None        # [O, D, 3] unit, local
+    hull_edge_dirs_mask: jnp.ndarray = None   # [O, D] bool
+    hull_edge_dir_id: jnp.ndarray = None      # [O, E] i32
+    # flat per-object dirs row for one-hot fetch on the XLA path:
+    # dirs.flat (3D) | mask (D) | edge dir id (E)
+    hull_dirs_pack: jnp.ndarray = None        # [O, 4D + E] f32
+    n_edge_dirs: int = 0                      # D (static)
 
     @property
     def num_objects(self) -> int:
@@ -103,7 +114,7 @@ def _face_polys(h: geo.HullData) -> np.ndarray:
     return h.verts[idx].astype(np.float32)  # [F, FV, 3]
 
 
-def _pack_hull_planar(h: geo.HullData) -> np.ndarray:
+def _pack_hull_planar(h: geo.HullData, dir_tabs=None) -> np.ndarray:
     """Component-planar variant of _pack_hull: every vector table is
     stored as x-block | y-block | z-block so kernels can take contiguous
     2-D slices (Mosaic cannot slice interior dims of >=3-D tiles).
@@ -124,6 +135,13 @@ def _pack_hull_planar(h: geo.HullData) -> np.ndarray:
         planar(fp.reshape(f * fv, 3)),
         (h.face_verts >= 0).astype(np.float32).reshape(-1),
     ]
+    if dir_tabs is not None:
+        # appended AFTER every legacy block so existing offsets hold:
+        # unique edge dirs (planar 3*D) | dirs mask (D) | edge dir id (E)
+        d, m, ids = dir_tabs
+        parts += [
+            planar(d), m.astype(np.float32), ids.astype(np.float32),
+        ]
     return np.concatenate(parts).astype(np.float32)
 
 
@@ -273,6 +291,30 @@ class ObjectRegistry:
         hull_of = lambda r: trimmed[
             id(r["hull"] if r["hull"] is not None else z_hull)
         ]
+        # unique edge directions — HULL-typed rows only (the zero-hull
+        # placeholder of planes/spheres is a triangulated box whose
+        # diagonal edges would inflate the app-wide direction count D,
+        # and non-hull rows never enter the hull-hull SAT)
+        dirs_of = {}
+        for r in self._rows:
+            h = hull_of(r)
+            if r["prim_type"] == geo.TYPE_HULL and id(h) not in dirs_of:
+                dirs_of[id(h)] = geo.unique_edge_dirs(h)
+        nd = max(
+            [1] + [len(d) for d, _ in dirs_of.values()]
+        )
+
+        def dir_tabs(r):
+            d, ids = dirs_of.get(
+                id(hull_of(r)),
+                (np.zeros((0, 3), np.float32), np.zeros(ne, np.int32)),
+            )
+            pad = np.zeros((nd, 3), np.float32)
+            pad[: len(d)] = d
+            m = np.zeros(nd, bool)
+            m[: len(d)] = True
+            return pad, m, ids.astype(np.int32)
+
         om = ObjectManager(
             prim_type=jnp.asarray(stack(lambda r: np.int32(r["prim_type"]))),
             sphere_radius=jnp.asarray(
@@ -316,9 +358,22 @@ class ObjectRegistry:
             ),
             hull_pack=jnp.asarray(stack(lambda r: _pack_hull(hull_of(r)))),
             hull_pack_planar=jnp.asarray(
-                stack(lambda r: _pack_hull_planar(hull_of(r)))
+                stack(lambda r: _pack_hull_planar(
+                    hull_of(r), dir_tabs(r)
+                ))
             ),
             hull_dims=(nv, nf, nfv, ne),
+            hull_edge_dirs=jnp.asarray(stack(lambda r: dir_tabs(r)[0])),
+            hull_edge_dirs_mask=jnp.asarray(
+                stack(lambda r: dir_tabs(r)[1])
+            ),
+            hull_edge_dir_id=jnp.asarray(stack(lambda r: dir_tabs(r)[2])),
+            hull_dirs_pack=jnp.asarray(stack(lambda r: np.concatenate([
+                dir_tabs(r)[0].reshape(-1),
+                dir_tabs(r)[1].astype(np.float32),
+                dir_tabs(r)[2].astype(np.float32),
+            ]).astype(np.float32))),
+            n_edge_dirs=nd,
             body_pack=jnp.asarray(
                 stack(
                     lambda r: np.concatenate([

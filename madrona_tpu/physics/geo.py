@@ -301,3 +301,47 @@ def hull_mass_properties(hull: HullData, density: float = 1.0):
     inertia_tensor = np.eye(3) * np.trace(covariance) - covariance
     evals, evecs = np.linalg.eigh(inertia_tensor)
     return float(mass), com.astype(np.float32), evals.astype(np.float32), evecs.astype(np.float32)
+
+
+def unique_edge_dirs(h: HullData):
+    """Unique edge DIRECTIONS of a hull (canonicalized sign, deduped by
+    parallelism) + each edge's direction id.
+
+    The edge-edge SAT axis family is {cross(da, db)} over edge
+    DIRECTIONS, not edge instances — a box's 12 edges span only 3
+    directions, so testing direction pairs shrinks the axis sweep from
+    E_a*E_b to D_a*D_b (144 -> 9 for box-box; the reference iterates
+    edge pairs with a per-pair Gauss-map test instead,
+    src/physics/narrowphase.cpp doSAT edge loop — on TPU the masked
+    full sweep pays for every pair, so dedup wins).
+
+    Returns (dirs [D, 3] unit f32, edge_dir_id [E] i32 — id of each
+    live edge's direction, 0 for pad edges)."""
+    ne = len(h.edges_mask)
+    dirs = []
+    edge_dir_id = np.zeros(ne, np.int32)
+    for i in range(ne):
+        if not h.edges_mask[i]:
+            continue
+        a, b = h.edges[i]
+        d = h.verts[b] - h.verts[a]
+        n = np.linalg.norm(d)
+        if n < 1e-12:
+            raise ValueError(f"degenerate edge {i}")
+        d = d / n
+        # canonical sign: first component with |x| > eps is positive
+        for c in d:
+            if abs(c) > 1e-9:
+                if c < 0:
+                    d = -d
+                break
+        found = -1
+        for k, dk in enumerate(dirs):
+            if np.linalg.norm(np.cross(dk, d)) < 1e-6:
+                found = k
+                break
+        if found < 0:
+            found = len(dirs)
+            dirs.append(d.astype(np.float32))
+        edge_dir_id[i] = found
+    return np.asarray(dirs, np.float32).reshape(-1, 3), edge_dir_id

@@ -75,6 +75,12 @@ class HullW:
     face_polys: jnp.ndarray      # [F, FV, 3] world face polygons
     face_poly_mask: jnp.ndarray  # [F, FV]
     center: jnp.ndarray          # [3]
+    # edge-direction SAT tier (sat_tier="edge_dirs"): unique edge
+    # directions in world frame (scaled+rotated, unnormalized), their
+    # mask, and each edge's direction id
+    edge_dirs: jnp.ndarray = None        # [D, 3]
+    edge_dirs_mask: jnp.ndarray = None   # [D]
+    edge_dir_id: jnp.ndarray = None      # [E]
 
 
 def hull_to_world(om, obj_idx, pos, rot, scale) -> HullW:
@@ -93,7 +99,8 @@ def hull_to_world(om, obj_idx, pos, rot, scale) -> HullW:
 
 
 def hull_row_to_world(row, dims, pos, rot, scale,
-                      need_edges: bool = True) -> HullW:
+                      need_edges: bool = True, dirs_row=None,
+                      n_dirs: int = 0) -> HullW:
     """hull_to_world from a pre-fetched packed row (callers batch the
     row fetch as a one-hot einsum — see api._narrowphase_all).
 
@@ -136,7 +143,18 @@ def hull_row_to_world(row, dims, pos, rot, scale,
     d_w = jnp.sum(n_w * face_polys[:, 0, :], axis=-1)
     denom = jnp.maximum(jnp.sum(vm), 1)
     center = jnp.sum(jnp.where(vm[:, None], verts, 0.0), axis=0) / denom
-    return HullW(
+    dirs_kw = {}
+    if dirs_row is not None and n_dirs:
+        d = n_dirs
+        dirs_l = dirs_row[: 3 * d].reshape(d, 3)
+        dirs_kw = dict(
+            # scaled edge direction = S*d then rotate (NOT the normal
+            # transform); unnormalized — axes normalize post-cross
+            edge_dirs=m3.quat_rotate(rot, dirs_l * scale),
+            edge_dirs_mask=dirs_row[3 * d : 4 * d] > 0.5,
+            edge_dir_id=dirs_row[4 * d : 4 * d + e],
+        )
+    return HullW(**dirs_kw,
         verts=verts,
         verts_mask=vm,
         planes_n=n_w,
@@ -414,6 +432,57 @@ def face_contact_manifold(ref_poly, ref_mask, ref_n, ref_d, other: HullW):
     return pts4, dep4, npts, ref_n
 
 
+def query_edge_directions_dirs(a: HullW, b: HullW):
+    """Edge query over unique DIRECTION pairs — the XLA twin of
+    ops/narrowphase_pallas._edge_query_dirs_s (same op order for kernel
+    parity; see its docstring for the algorithm and the documented
+    deep-penetration deviation from the Gauss-map pair sweep)."""
+    da = a.edge_dirs                                    # [D, 3]
+    db = b.edge_dirs
+    d = da.shape[0]
+    ax = jnp.cross(da[:, None, :], db[None, :, :])      # [D, D, 3]
+    len2 = jnp.sum(ax * ax, axis=-1)
+    ok = (
+        a.edge_dirs_mask[:, None] & b.edge_dirs_mask[None, :]
+        & (len2 > 1e-12)
+    )
+    inv = jax.lax.rsqrt(jnp.maximum(len2, 1e-30))
+    n = ax * inv[..., None]
+    c_ab = b.center - a.center
+    flip = jnp.where(jnp.sum(n * c_ab, axis=-1) < 0.0, -1.0, 1.0)
+    n = n * flip[..., None]
+    dots_a = jnp.einsum("ijk,vk->ijv", n, a.verts)
+    dots_b = jnp.einsum("ijk,vk->ijv", n, b.verts)
+    max_a = jnp.max(jnp.where(a.verts_mask, dots_a, NEG_BIG), axis=-1)
+    min_b = jnp.min(jnp.where(b.verts_mask, dots_b, BIG), axis=-1)
+    sep = jnp.where(ok, min_b - max_a, NEG_BIG)         # [D, D]
+
+    best = jnp.argmax(sep.reshape(-1))                  # i-major, like
+    i_star = best // d                                  # the kernel's
+    j_star = best % d                                   # loop order
+    sep_e = sep.reshape(-1)[best]
+    n_e = _onehot_pick(n.reshape(-1, 3), best)
+
+    def witness(h, dir_star, pick_max):
+        mid = 0.5 * (h.edge_p1 + h.edge_p2)             # [E, 3]
+        score = jnp.sum(mid * n_e[None, :], axis=-1)
+        if not pick_max:
+            score = -score
+        usable = (
+            (jnp.abs(h.edge_dir_id - dir_star) < 0.5) & h.edges_mask
+        )
+        score = jnp.where(usable, score, NEG_BIG)
+        e_star = jnp.argmax(score)
+        return (
+            _onehot_pick(h.edge_p1, e_star),
+            _onehot_pick(h.edge_p2, e_star),
+        )
+
+    pa1, pa2 = witness(a, i_star, True)
+    pb1, pb2 = witness(b, j_star, False)
+    return sep_e, n_e, pa1, pa2, pb1, pb2
+
+
 def hull_hull_contact(a: HullW, b: HullW):
     """Full SAT + manifold for one hull pair (doSAT + generateContacts).
 
@@ -423,7 +492,10 @@ def hull_hull_contact(a: HullW, b: HullW):
     same select under vmap but with worse fusion)."""
     sep_a, face_a = query_face_directions(a, b)
     sep_b, face_b = query_face_directions(b, a)
-    sep_e, n_e, pa1, pa2, pb1, pb2 = query_edge_directions(a, b)
+    if a.edge_dirs is not None:
+        sep_e, n_e, pa1, pa2, pb1, pb2 = query_edge_directions_dirs(a, b)
+    else:
+        sep_e, n_e, pa1, pa2, pb1, pb2 = query_edge_directions(a, b)
     separated = (sep_a > 0.0) | (sep_b > 0.0) | (sep_e > 0.0)
 
     is_face = (sep_a > sep_e) | (sep_b > sep_e)

@@ -96,6 +96,15 @@ class PhysicsConfig:
     # gather/scatter contractions cover only the leading lanes. Exact:
     # a static row's dyn-range mask is structurally all-zero.
     solver_ref_dyn_lanes: int = 0
+    # "edge_pairs": the reference's Gauss-map edge-pair sweep
+    #   (E_a*E_b combos, isMinkowskiFace per pair — narrowphase.cpp
+    #   doSAT). "edge_dirs": SAT over unique edge DIRECTION pairs
+    #   (D_a*D_b axes, support-based separation + supporting-edge
+    #   witnesses) — boxes collapse 144 combos to 9; measured ~0.8 ->
+    #   ~0.15 ms of the contacts kernel at 4096 worlds. Equal results
+    #   for separated/shallow pairs; deep edge-edge penetration may
+    #   pick a different (equally valid) axis — documented deviation.
+    sat_tier: str = "edge_pairs"
     # pair tile of the sublane narrowphase kernel (pairs pad up to it).
     # 8 is the VMEM-feasible point for box-class hulls at tile_w=128
     # under the default scoped-VMEM budget (16 exceeds it by ~8M; 4
