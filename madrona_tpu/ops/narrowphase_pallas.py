@@ -1103,7 +1103,17 @@ def hh_sat_planes(dims, n_bodies, n_obj, rows_a, rows_b, nb, obj, pack,
     import os as _os
     if _os.environ.get("MADRONA_TPU_SKIP_EDGE_QUERY"):
         # DEBUG/profiling only: face-only SAT (wrong physics for
-        # edge-edge contacts; used to attribute kernel time)
+        # edge-edge contacts; used to attribute kernel time). Loud by
+        # design — a stale env var silently corrupts physics, and a
+        # cached jit trace won't notice the var changing afterwards.
+        import warnings as _warnings
+        _warnings.warn(
+            "MADRONA_TPU_SKIP_EDGE_QUERY is set: edge-edge SAT is "
+            "DISABLED in this trace (face-only SAT, wrong physics). "
+            "Profiling only — unset it for any real run; already-"
+            "compiled traces keep this behavior until re-traced.",
+            stacklevel=2,
+        )
         z = jnp.zeros_like(sep_a)
         zv = (z, z, z)
         sep_e, n_e, pa1, pa2, pb1, pb2 = (

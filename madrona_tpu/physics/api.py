@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.registry import ECSRegistry
 from ..core.state import SimState, StateManager
@@ -622,6 +623,34 @@ def make_physics_node(
     caps = caps or bp.CandidateCaps()
     h = cfg.dt / cfg.substeps
     gravity = jnp.asarray(cfg.gravity, jnp.float32)
+
+    if cfg.solver_ref_dyn_lanes:
+        # the knob encodes an env-layout contract (every contact lane
+        # >= K has a structurally-static ref row); validate the parts
+        # visible at setup so a reordered candidate layout or a movable
+        # plane object fails loudly instead of silently dropping the
+        # ref-side corrections (round-4 advisor).
+        if cfg.solver_ref_dyn_lanes != caps.hull_hull:
+            raise ValueError(
+                f"solver_ref_dyn_lanes={cfg.solver_ref_dyn_lanes} must "
+                f"equal CandidateCaps.hull_hull={caps.hull_hull}: the "
+                "static-ref segment is exactly the hull-plane candidate "
+                "lanes, which start at the hull_hull cap"
+            )
+        if caps.sphere_any != 0:
+            raise ValueError(
+                "solver_ref_dyn_lanes requires sphere_any=0: sphere "
+                "lanes after the hull-plane segment have dynamic refs"
+            )
+        pt_host = np.asarray(om.prim_type)
+        im_host = np.asarray(om.inv_mass)
+        movable_planes = (pt_host == geo.TYPE_PLANE) & (im_host != 0.0)
+        if movable_planes.any():
+            raise ValueError(
+                "solver_ref_dyn_lanes requires every plane-typed object "
+                "to be immovable (inv_mass == 0); movable plane object "
+                f"ids: {np.nonzero(movable_planes)[0].tolist()}"
+            )
 
     use_pallas = cfg.narrowphase in ("pallas", "pallas_sublane")
     sublane = cfg.narrowphase == "pallas_sublane"

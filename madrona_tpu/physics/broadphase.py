@@ -79,6 +79,32 @@ def world_aabbs(body: BodyState, om, expansion_dt: float, params=None):
     return lo, hi
 
 
+def first_index_geq(pos_inc, targets):
+    """Per-row first index i with ``pos_inc[:, i] >= target`` for each
+    target — an unrolled binary search (XLA's searchsorted lowers to a
+    serial while loop; measured 12+ ms/tier at pile scale). ``pos_inc``
+    must be nondecreasing per row ([W, P]); ``targets`` is [cap].
+    Returns indices clipped to P-1; callers verify the hit with a
+    gather-compare. ceil(log2(P+1)) steps: the interval [0, P] holds
+    P+1 candidate answers and must converge to width 0 (ceil(log2(P))
+    is one short when P is a power of two — dropped the hit at index 1).
+    """
+    w_, p_len = pos_inc.shape
+    cap = targets.shape[0]
+    lo = jnp.zeros((w_, cap), jnp.int32)
+    hi = jnp.full((w_, cap), p_len, jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(p_len + 1))))
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        vm = jnp.take_along_axis(
+            pos_inc, jnp.minimum(mid, p_len - 1), axis=1
+        )
+        go_right = vm < targets[None]
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return jnp.minimum(lo, p_len - 1)
+
+
 def _typed_compact(
     first, second, hit, ptype, n: int, caps: CandidateCaps,
     overflow=None,
@@ -162,23 +188,8 @@ def _typed_compact(
             # on the 256-body pile at 64 worlds).
             pos_inc = pos + mi                               # inclusive
             targets = jnp.arange(1, cap + 1)
-            # manual unrolled binary search (first idx with
-            # pos_inc >= target): log2(P) static steps of [W, cap]
-            # take_along_axis — XLA's searchsorted lowers to a serial
-            # while loop that measured 12+ ms/tier at this scale
             p_len = mask.shape[1]
-            lo = jnp.zeros((w_, cap), jnp.int32)
-            hi = jnp.full((w_, cap), p_len, jnp.int32)
-            steps = max(1, int(np.ceil(np.log2(max(p_len, 2)))))
-            for _ in range(steps):
-                mid = (lo + hi) >> 1
-                vm = jnp.take_along_axis(
-                    pos_inc, jnp.minimum(mid, p_len - 1), axis=1
-                )
-                go_right = vm < targets[None]
-                lo = jnp.where(go_right, mid + 1, lo)
-                hi = jnp.where(go_right, hi, mid)
-            idx_c = jnp.minimum(lo, p_len - 1)
+            idx_c = first_index_geq(pos_inc, targets)
             got = jnp.take_along_axis(pos_inc, idx_c, axis=1) == targets
             vals = jnp.take_along_axis(
                 pair.astype(jnp.int32), idx_c[..., None], axis=1
@@ -416,18 +427,7 @@ def find_candidates_swept(
         saturated = total > cap
         p_len = mask.shape[1]
         targets = jnp.arange(1, cap + 1)
-        lo_i = jnp.zeros((w, cap), jnp.int32)
-        hi_i = jnp.full((w, cap), p_len, jnp.int32)
-        steps = max(1, int(np.ceil(np.log2(max(p_len, 2)))))
-        for _ in range(steps):
-            mid = (lo_i + hi_i) >> 1
-            vm = jnp.take_along_axis(
-                pos_inc, jnp.minimum(mid, p_len - 1), axis=1
-            )
-            go_right = vm < targets[None]
-            lo_i = jnp.where(go_right, mid + 1, lo_i)
-            hi_i = jnp.where(go_right, hi_i, mid)
-        idx_c = jnp.minimum(lo_i, p_len - 1)
+        idx_c = first_index_geq(pos_inc, targets)
         got = jnp.take_along_axis(pos_inc, idx_c, axis=1) == targets
         f, s, t2 = pair_at(idx_c)
         buf = jnp.stack(

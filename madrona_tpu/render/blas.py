@@ -846,22 +846,30 @@ def render_views_blas(
     budget = 1 << 17
     per_world_rays = n_views * h * w
     wc = max(1, min(n_worlds, budget // max(per_world_rays, 1)))
-    if wc < n_worlds and n_worlds % wc:
-        # fall back to the largest divisor <= wc
-        while n_worlds % wc:
-            wc -= 1
     if wc < n_worlds:
+        # pad the world batch up to a multiple of the chunk size by
+        # replicating the last world (valid data, sliced off below) —
+        # a largest-divisor fallback degrades to wc=1 on prime world
+        # counts and unrolls n_worlds separate vmap bodies (compile
+        # blowup; round-4 advisor).
+        n_pad = -n_worlds % wc
+        if n_pad:
+            args = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], n_pad, axis=0)], axis=0
+                ), args
+            )
         # unrolled chunk loop (NOT lax.map): a nested scan inside the
         # caller's step scan device-faults on this backend; the unroll
         # compiles each chunk as straight-line code with the same
         # bounded working set
         outs = []
-        for c0 in range(0, n_worlds, wc):
+        for c0 in range(0, n_worlds + n_pad, wc):
             ch = jax.tree_util.tree_map(
-                lambda a: a[c0:c0 + wc], args
+                lambda a, c0=c0: a[c0:c0 + wc], args
             )
             outs.append(jax.vmap(per_world)(*ch))
-        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        cat = lambda xs: jnp.concatenate(xs, axis=0)[:n_worlds]
         rgb = cat([o[0] for o in outs])
         dep = cat([o[1] for o in outs])
         if k > 0:

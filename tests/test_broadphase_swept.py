@@ -100,6 +100,41 @@ def test_swept_overflow_flags_dense_world():
     assert not bool(np.asarray(full.overflow).any())
 
 
+def test_first_index_geq_power_of_two_lengths():
+    """Regression (round-4 advisor, high): the unrolled binary search ran
+    ceil(log2(P)) steps — one short when P is a power of two, silently
+    dropping a hit at index 1. Exercise exactly that shape for each
+    power-of-two P plus random masks, vs np.searchsorted."""
+    for p_len in (2, 4, 8, 16, 1024):
+        # single hit at index 1 (the advisor's repro)
+        mask = np.zeros((1, p_len), np.int32)
+        mask[0, 1] = 1
+        pos_inc = np.cumsum(mask, axis=1).astype(np.int32)
+        cap = 4
+        targets = np.arange(1, cap + 1, dtype=np.int32)
+        idx = np.asarray(
+            bp.first_index_geq(jnp.asarray(pos_inc), jnp.asarray(targets))
+        )
+        ref = np.minimum(
+            np.searchsorted(pos_inc[0], targets, side="left"), p_len - 1
+        )
+        assert (idx[0] == ref).all(), (p_len, idx[0], ref)
+        got = pos_inc[0][idx[0]] == targets
+        assert got[0] and not got[1:].any()
+        # random masks, several worlds
+        rs = np.random.RandomState(p_len)
+        m = (rs.uniform(size=(3, p_len)) < 0.3).astype(np.int32)
+        pi = np.cumsum(m, axis=1).astype(np.int32)
+        idx = np.asarray(
+            bp.first_index_geq(jnp.asarray(pi), jnp.asarray(targets))
+        )
+        for wi in range(3):
+            ref = np.minimum(
+                np.searchsorted(pi[wi], targets, side="left"), p_len - 1
+            )
+            assert (idx[wi] == ref).all(), (p_len, wi)
+
+
 def test_swept_ignores_dead_rows():
     w, n = 2, 32
     body, om = _random_bodies(w, n, seed=2, span=2.0)
