@@ -765,19 +765,31 @@ def render_views_blas(
         )
     k = max_instances_per_view
 
-    from .kernel import kernel_eligible, render_views_kernel
+    from .kernel import (
+        kernel_eligible, render_views_kernel, view_overlap_counts,
+    )
 
     if kernel_eligible(cfg, blas, lights, k, inst_pos.shape[1]):
         # Pallas raycast megakernel tier: the whole per-view trace +
         # shadow pass in VMEM (ops/raycast_pallas — the analogue of the
         # reference's persistent raycast kernel,
         # bvh_raycast.cpp:940-1029). Same contract; the BVH-walking
-        # tiers below remain the oracle / big-mesh path.
-        return render_views_kernel(
+        # tiers below remain the oracle / big-mesh path. With k > 0 the
+        # kernel traces the FULL set (exact regardless of overlap) and
+        # only the overlap-count export is computed from the cull math.
+        out = render_views_kernel(
             cfg, blas, inst_pos, inst_rot, inst_scale, inst_obj,
             inst_mask, cam_pos, cam_rot, materials=materials,
             lights=lights,
         )
+        if k > 0:
+            overlap = view_overlap_counts(
+                blas.node_min[:, 0], blas.node_max[:, 0],
+                inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+                cam_pos, cam_rot, cfg,
+            )
+            return out[0], out[1], overlap
+        return out
 
     def per_cam(ip, ir, isc, io, im, lt, cp, cr, lo=None, hi=None):
         o, d = camera_rays(cfg, cp, cr)

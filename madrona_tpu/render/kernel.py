@@ -77,8 +77,9 @@ def kernel_eligible(cfg, blas, lights, max_instances_per_view, n_inst):
                           getattr(cfg, "kernel", "auto"))
     if knob in ("0", "off"):
         return False
-    if max_instances_per_view > 0:
-        return knob in ("1", "force")  # cull tier composes in v2
+    # max_instances_per_view > 0 is fine: the kernel traces the FULL
+    # instance set (strictly more exact than cull-then-trace) and the
+    # caller reports the overlap count separately (view_overlap_counts)
     t_all = n_inst * blas.tri_v0.shape[1]
     if t_all > MAX_FLAT_TRIS and knob not in ("1", "force"):
         return False
@@ -107,7 +108,7 @@ def _world_tris(blas, inst_pos, inst_rot, inst_scale, inst_obj):
     e2w = m3.quat_rotate(inst_rot[:, None, :], e2 * scale)
     flat = lambda a: a.reshape((-1,) + a.shape[2:])
     out = dict(v0=flat(v0w), e1=flat(e1w), e2=flat(e2w), col=flat(col))
-    if blas.tri_uv is not None:
+    if getattr(blas, "tri_uv", None) is not None:
         uv = pick(blas.tri_uv.reshape(o, blas.tri_uv.shape[1], 6))
         out["uv"] = flat(uv)                           # [IT, 6]
         mat = jnp.einsum(
@@ -273,7 +274,8 @@ def render_views_kernel(
     t_pad = -(-it // 8) * 8
 
     use_lights = lights is not None
-    use_materials = materials is not None and blas.tri_uv is not None
+    use_materials = (materials is not None
+                     and getattr(blas, "tri_uv", None) is not None)
     _, shadow_idx = _static_lights_info(lights, bool(cfg.shadows))
     fixed_light = jnp.asarray(
         -np.array(cfg.light_dir) / np.linalg.norm(cfg.light_dir),
@@ -354,8 +356,12 @@ def render_views_kernel(
 def make_trace_cached(n_tris, n_rays, t_max, shadows, use_lights,
                       use_materials, ambient, shadow_ambient, sky,
                       tex_size, t_pad, r_pad, interpret, dtype_str):
-    tile_r = 512 if r_pad % 512 == 0 else (
-        256 if r_pad % 256 == 0 else 128
+    # largest tile <= 2048 dividing the padded ray count: fewer grid
+    # cells amortize per-cell overhead (measured 22.2 -> 18.9 ms at the
+    # 64px/256-world design point); [T, 2048] plane sets still fit VMEM
+    # at MAX_FLAT_TRIS-scale scenes
+    tile_r = next(
+        tr for tr in (2048, 1024, 512, 256, 128) if r_pad % tr == 0
     )
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     return rpk.make_raytrace(
@@ -363,4 +369,29 @@ def make_trace_cached(n_tris, n_rays, t_max, shadows, use_lights,
         use_materials=use_materials, ambient=ambient,
         shadow_ambient=shadow_ambient, sky=sky, tex_size=tex_size,
         dtype=dtype, tile_r=tile_r, interpret=interpret,
+    )
+
+
+def view_overlap_counts(obj_lo, obj_hi, inst_pos, inst_rot, inst_scale,
+                        inst_obj, inst_mask, cam_pos, cam_rot, cfg):
+    """[W, V] per-view frustum overlap counts — the cull tier's
+    overflow-signal contract (render/tlas.py::cull_view_topk), computed
+    WITHOUT tracing a culled set: the megakernel traces the full
+    instance list, so the count is purely informational (callers keep
+    the adaptive-K maybe_grow_tlas machinery working unchanged)."""
+    from .tlas import cull_view_topk, instance_world_aabbs
+
+    h, w = cfg.height, cfg.width
+
+    def per_world(ip, ir, isc, io, ims, cps, crs):
+        lo, hi = instance_world_aabbs(obj_lo, obj_hi, ip, ir, isc, io)
+        return jax.vmap(
+            lambda im, cp, cr: cull_view_topk(
+                lo, hi, im, cp, cr, 1, cfg.fov_deg, w / h, cfg.t_max
+            )[2]
+        )(ims, cps, crs)
+
+    return jax.vmap(per_world)(
+        inst_pos, inst_rot, inst_scale, inst_obj, inst_mask,
+        cam_pos, cam_rot,
     )

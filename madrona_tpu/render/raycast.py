@@ -330,6 +330,18 @@ def render_views(cfg: RenderConfig, mesh: MeshTables, inst_pos, inst_rot,
             (inst_mask.shape[0], n_views, inst_mask.shape[1]),
         )
 
+    from .kernel import kernel_eligible, render_views_kernel
+
+    if kernel_eligible(cfg, mesh, None, 0, inst_pos.shape[1]):
+        # Pallas raycast megakernel tier (ops/raycast_pallas): the
+        # dense tracer's math in one VMEM-resident kernel; MeshTables'
+        # padded tri tables serve as the flat geometry directly (pad
+        # tris are degenerate -> never hit). Same (rgb, depth) contract.
+        return render_views_kernel(
+            cfg, mesh, inst_pos, inst_rot, inst_scale, inst_obj,
+            inst_mask, cam_pos, cam_rot,
+        )
+
     def per_cam(ip, ir, isc, io, im, cp, cr):
         o, d = camera_rays(cfg, cp, cr)
         if tracer == "matmul":

@@ -352,6 +352,24 @@ def render_views_tlas(cfg, mesh: MeshTables, inst_pos, inst_rot, inst_scale,
             (inst_mask.shape[0], n_views, inst_mask.shape[1]),
         )
 
+    from .kernel import (
+        kernel_eligible, render_views_kernel, view_overlap_counts,
+    )
+
+    if kernel_eligible(cfg, mesh, None, k, inst_pos.shape[1]):
+        # megakernel tier traces the FULL set (exact regardless of
+        # frustum overlap); the overlap count keeps the adaptive-K
+        # contract for callers (RenderingSystem.maybe_grow_tlas)
+        rgb, depth = render_views_kernel(
+            cfg, mesh, inst_pos, inst_rot, inst_scale, inst_obj,
+            inst_mask, cam_pos, cam_rot,
+        )
+        overlap = view_overlap_counts(
+            obj_lo, obj_hi, inst_pos, inst_rot, inst_scale, inst_obj,
+            inst_mask, cam_pos, cam_rot, cfg,
+        )
+        return rgb, depth, overlap
+
     def per_world(ip, ir, isc, io, ims, cps, crs):
         lo, hi = instance_world_aabbs(obj_lo, obj_hi, ip, ir, isc, io)
 
