@@ -177,16 +177,23 @@ def main():
 
     total_env_steps = (steps) * num_worlds
     rate = total_env_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"{name}_env_steps_per_sec_{jax.default_backend()}",
-                "value": round(rate, 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(rate / BASELINE_STEPS_PER_SEC, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": f"{name}_env_steps_per_sec_{jax.default_backend()}",
+        "value": round(rate, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(rate / BASELINE_STEPS_PER_SEC, 4),
+    }
+    # speed-of-light context (utils/roofline.py): render rows vs the
+    # measured VPU issue ceiling (tight), sim rows vs the HBM state
+    # floor (loose context — sims are compute-bound)
+    from madrona_tpu.utils.roofline import bench_roofline
+
+    rl = bench_roofline(name, num_worlds, rate, env=env)
+    if rl:
+        rec["roofline_model"] = rl["model"]
+        rec["sol_env_steps_per_sec"] = rl["sol_env_steps_per_sec"]
+        rec["pct_of_roofline"] = rl["pct_of_roofline"]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

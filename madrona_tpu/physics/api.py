@@ -376,14 +376,14 @@ def _narrowphase_all(
 def _narrowphase_mixed_pallas(
     body: BodyState, om: ObjectManager, cands: bp.Candidates,
     sublane: bool = False, pair_tile: int = 8, vmem_limit_mb: int = 0,
-    sat_dirs: bool = False,
+    sat_dirs: bool = False, tile_w: int = 0,
 ) -> Contacts:
     """Contacts with the hull-hull lane on the Pallas kernel and the
     cheap hull-plane / sphere lanes on the XLA path."""
     full = _narrowphase_all(body, om, cands, skip_hh=True)
     ref, alt, points, num, normal = narrowphase_hh_pallas(
         body, om, cands, sublane=sublane, pair_tile=pair_tile,
-        vmem_limit_mb=vmem_limit_mb, sat_dirs=sat_dirs,
+        vmem_limit_mb=vmem_limit_mb, sat_dirs=sat_dirs, tile_w=tile_w,
     )
     p = cands.hh.shape[1]
     return Contacts(
@@ -665,6 +665,7 @@ def make_physics_node(
             body, om, cands, sublane=sublane,
             pair_tile=cfg.narrowphase_pair_tile,
             vmem_limit_mb=cfg.narrowphase_vmem_mb, sat_dirs=use_dirs,
+            tile_w=cfg.narrowphase_tile_w,
         )
 
     def physics_step(sm_, state: SimState, node_key) -> SimState:
@@ -894,7 +895,7 @@ def setup_physics_step_tasks(
     )
 
 
-def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
+def narrowphase_hh_pallas(body, om, cands, interpret=None, tile_w=0,
                           sublane=False, pair_tile=8, vmem_limit_mb=0,
                           sat_dirs=False):
     """Pallas-kernel hull-hull lane (ops/narrowphase_pallas): same
@@ -903,6 +904,8 @@ def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
     pair-tile; the pad lanes carry the invalid-row sentinel)."""
     from ..ops import narrowphase_pallas as npk
 
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     w, n = body.pos.shape[:2]
     nb_t = jnp.moveaxis(
         jnp.concatenate([body.pos, body.rot, body.scale], axis=-1), 0, -1
@@ -918,7 +921,7 @@ def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
             pairs_t = jnp.concatenate([pairs_t, pad], axis=0)
         fn = npk.make_hh_narrowphase_sublane(
             om.hull_dims, n, om.hull_pack.shape[0], pair_tile=pt,
-            tile_w=min(128, w), interpret=interpret,
+            tile_w=min(tile_w or 128, w), interpret=interpret,
             vmem_limit_mb=vmem_limit_mb,
             n_dirs=om.n_edge_dirs if sat_dirs else 0,
         )
@@ -926,7 +929,7 @@ def narrowphase_hh_pallas(body, om, cands, interpret=False, tile_w=256,
     else:
         fn = npk.make_hh_narrowphase(
             om.hull_dims, n, om.hull_pack.shape[0],
-            tile_w=min(tile_w, w), interpret=interpret,
+            tile_w=min(tile_w or 256, w), interpret=interpret,
         )
         rec = fn(nb_t, obj_t, pairs_t, om.hull_pack)  # [P, 22, W]
     rec = jnp.moveaxis(rec, -1, 0)                   # [W, P, 22]

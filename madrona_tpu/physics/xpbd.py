@@ -113,6 +113,10 @@ class PhysicsConfig:
     # >0: raise the sublane narrowphase kernel's scoped-VMEM cap (MB),
     # e.g. to fit pair_tile=16 (physical ceiling ~16MB/core applies)
     narrowphase_vmem_mb: int = 0
+    # world-lane tile of the sublane narrowphase kernel (0 = min(128,
+    # W)). Many-body envs shrink it: at pile scale (N=261, P=512) the
+    # default 64-lane tile overflows scoped VMEM by ~128K; 32 fits.
+    narrowphase_tile_w: int = 0
     # True: run narrowphase + the whole substep loop in ONE Pallas call
     # (ops/physics_megakernel) — contacts never leave VMEM. Requires
     # solver="jacobi" and narrowphase_once=True; supersedes

@@ -24,3 +24,41 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+# ------------------------------------------------------- smoke tier
+# `pytest -m smoke`: one fast representative test per subsystem so a
+# regression can't hide behind the ~60-min full suite (round-4 VERDICT
+# item 8). Target < 5 min on one CPU core; keep this list curated when
+# adding subsystems.
+SMOKE = {
+    "test_ecs.py::test_state_is_jittable_pytree",          # ECS core
+    "test_ecs.py::test_free_and_generation_safety",        # entity store
+    "test_taskgraph.py::test_parallel_for_and_masking",    # taskgraph
+    "test_rng.py::test_bits_and_uniform_golden",           # RNG parity
+    "test_cartpole.py::test_cartpole_matches_oracle_bitexact",
+    "test_broadphase_swept.py::test_first_index_geq_power_of_two_lengths",
+    "test_physics.py::test_box_settles_on_plane",          # physics core
+    "test_kernel_goldens.py::test_kernels_match_committed_goldens",
+    "test_physics_megakernel.py::test_fused_matches_split",
+    "test_raycast_kernel.py::test_kernel_matches_blas_flat_colors",
+    "test_lifecycle.py::test_destroy_compacts_and_recycles",
+    "test_checkpoint.py::test_masked_save_restore",
+    "test_escape_room.py::test_forward_action_moves_agents",
+    "test_config.py::test_tuned_table_commit_is_valid_json",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast per-subsystem regression tier (<5 min)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        key = f"{item.fspath.basename}::{item.name.split('[')[0]}"
+        if key in SMOKE:
+            item.add_marker(pytest.mark.smoke)
