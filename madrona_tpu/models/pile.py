@@ -96,17 +96,25 @@ class Pile(EnvBase):
             dt=DT, substeps=SUBSTEPS,
             solver="jacobi", narrowphase_once=False,
             broadphase="swept", broadphase_window=broadphase_window,
+            # box-box SAT over unique edge DIRECTIONS (9 axis combos
+            # instead of 144 edge pairs): pile's hulls are all boxes,
+            # so the per-substep narrowphase — the measured step
+            # bottleneck at this scale (round 5: ~4.7 ms of a 70 ms
+            # step per narrowphase) — shrinks dramatically
+            sat_tier="edge_dirs",
         ), self.name))
         # contact budget: a settled pile averages ~3-5 touching
-        # neighbours per body + one floor contact each. The sphere
-        # tier needs the largest headroom: ~n/3 of the bodies are
-        # spheres and sphere-vs-anything candidates peak mid-drop
-        # (measured: 512 saturated at t~35 in the 256-body settle —
-        # the cap-saturation overflow signal caught it)
+        # neighbours per body + one floor contact each; mid-drop peaks
+        # higher. Caps sized from measured occupancy with the
+        # cap-saturation overflow signal as the guard (summary[5] — the
+        # settle suite asserts it stays 0 through the worst-case
+        # 7-layer drop): hh 2n / sp 3n measured clean with ~2x
+        # headroom; the old 4n/5n budget doubled the solver's contact
+        # lanes (C scales step cost: 70 -> 37 ms/step at 64 worlds).
         self.caps = caps or bp.CandidateCaps(
-            hull_hull=4 * num_bodies,
+            hull_hull=2 * num_bodies,
             hull_plane=num_bodies + 8,
-            sphere_any=5 * num_bodies,
+            sphere_any=3 * num_bodies,
         )
         # lattice spawn: ceil-cube layout covering num_bodies slots
         side = int(np.ceil(num_bodies ** (1.0 / 3.0)))

@@ -1126,7 +1126,12 @@ def hh_sat_planes(dims, n_bodies, n_obj, rows_a, rows_b, nb, obj, pack,
     else:
         sep_e, n_e, pa1, pa2, pb1, pb2 = _edge_query_s(ha, hb, e)
     separated = (sep_a > 0.0) | (sep_b > 0.0) | (sep_e > 0.0)
-    is_face = (sep_a > sep_e) | (sep_b > sep_e)
+    if n_dirs:
+        # dirs-tier face preference under near-ties — see
+        # physics/narrowphase.py hull_hull_contact (round-5 fix)
+        is_face = (sep_a >= sep_e - 1e-5) | (sep_b >= sep_e - 1e-5)
+    else:
+        is_face = (sep_a > sep_e) | (sep_b > sep_e)
     a_is_ref = sep_a >= sep_b
 
     ref_seps = jnp.where(a_is_ref[:, None, :], seps_a, seps_b)

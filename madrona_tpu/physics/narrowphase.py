@@ -494,11 +494,23 @@ def hull_hull_contact(a: HullW, b: HullW):
     sep_b, face_b = query_face_directions(b, a)
     if a.edge_dirs is not None:
         sep_e, n_e, pa1, pa2, pb1, pb2 = query_edge_directions_dirs(a, b)
+        # face preference under near-ties: the DIRECTION family contains
+        # axes numerically equal to face normals (e.g. an axis-aligned
+        # box pair yields cross products along the coordinate axes), so
+        # sep_e can EXACTLY equal a face separation; a strict > would
+        # then misclassify a face/edge-on-face contact as a 1-point
+        # edge contact (round-5 fix; the reference applies the same
+        # face bias in its SAT, narrowphase.cpp doSAT). The Gauss-map
+        # pair tier keeps the strict compare — its axis family is
+        # disjoint from face normals, preserving golden parity.
+        face_bias = 1e-5
+        is_face = (sep_a >= sep_e - face_bias) | (
+            sep_b >= sep_e - face_bias
+        )
     else:
         sep_e, n_e, pa1, pa2, pb1, pb2 = query_edge_directions(a, b)
+        is_face = (sep_a > sep_e) | (sep_b > sep_e)
     separated = (sep_a > 0.0) | (sep_b > 0.0) | (sep_e > 0.0)
-
-    is_face = (sep_a > sep_e) | (sep_b > sep_e)
     a_is_ref = sep_a >= sep_b
 
     # ---- face manifold with ref = argmax-separation hull (tree-select)

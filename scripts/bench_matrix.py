@@ -37,6 +37,13 @@ MATRIX = [
         "MADRONA_TPU_BENCH_ENV": "hide_seek",
         "MADRONA_TPU_MEGAKERNEL_FUSED": "1",
     }),
+    # SAT over unique edge DIRECTIONS (boxes: 144 -> 9 axis combos) —
+    # round-4 VERDICT item 3: bench it, flip the default if it wins
+    ("escape_room split edge_dirs", {"MADRONA_TPU_SAT_TIER": "edge_dirs"}),
+    ("hide_seek 16k edge_dirs", {
+        "MADRONA_TPU_BENCH_ENV": "hide_seek",
+        "MADRONA_TPU_SAT_TIER": "edge_dirs",
+    }),
     ("pile 256-body", {"MADRONA_TPU_BENCH_ENV": "pile"}),
     ("hs_pixels 16 cullK8", {
         "MADRONA_TPU_BENCH_ENV": "hide_seek_pixels",

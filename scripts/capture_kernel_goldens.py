@@ -37,6 +37,7 @@ def main():
     for name, runner in (
         ("kernels_v1", golden_inputs.run_kernels),
         ("kernels_v2", golden_inputs.run_kernels_v2),
+        ("kernels_v3", golden_inputs.run_kernels_v3),
     ):
         out = runner(interpret=False)
         path = os.path.join(gdir, f"{name}.npz")

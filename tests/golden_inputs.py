@@ -385,6 +385,90 @@ def run_kernels_v2(interpret: bool):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def raycast_case():
+    """Fixed scene for the raycast megakernel goldens: floor quad +
+    boxes + a pyramid with materials, a shadow-casting sun, 2 worlds x
+    2 views at 16x24."""
+    from madrona_tpu.render import MeshRegistry, RenderConfig
+    from madrona_tpu.render.lights import make_lights
+    from madrona_tpu.render.materials import bake_materials
+    from madrona_tpu.assets.importer import (
+        ImportedMaterial, ImportedTexture,
+    )
+
+    rs = np.random.RandomState(SEED + 3)
+    reg = MeshRegistry()
+    floor = reg.add_quad(18.0, color=(0.4, 0.4, 0.4), uv_tiles=3.0,
+                         material=1)
+    box = reg.add_box([0.7, 0.5, 0.6], color=(0.7, 0.3, 0.2), material=2)
+    verts = [(-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0),
+             (0, 0, 1.3)]
+    tris = [(0, 1, 4), (1, 2, 4), (2, 3, 4), (3, 0, 4), (0, 2, 1),
+            (0, 3, 2)]
+    pyr = reg.add_mesh(verts, tris, color=(0.2, 0.6, 0.3), material=0)
+    blas = reg.build_blas()
+
+    w_, i_n = 2, 5
+    pos = np.zeros((w_, i_n, 3), np.float32)
+    rot = np.zeros((w_, i_n, 4), np.float32)
+    rot[..., 0] = 1.0
+    scale = np.ones((w_, i_n, 3), np.float32)
+    obj = np.zeros((w_, i_n), np.int32)
+    obj[:, 0] = floor
+    obj[:, 1] = pyr
+    pos[:, 1, :2] = rs.uniform(-3, 3, (w_, 2))
+    for b in range(3):
+        obj[:, 2 + b] = box
+        pos[:, 2 + b, :2] = rs.uniform(-4, 4, (w_, 2))
+        pos[:, 2 + b, 2] = rs.uniform(0.5, 1.5, w_)
+        ang = rs.uniform(0, np.pi, w_)
+        rot[:, 2 + b, 0] = np.cos(ang / 2)
+        rot[:, 2 + b, 3] = np.sin(ang / 2)
+    mask = np.ones((w_, i_n), bool)
+    cam_pos = np.zeros((w_, 2, 3), np.float32)
+    cam_pos[:, :, 1] = -7.0
+    cam_pos[:, :, 2] = 2.5
+    cam_pos[:, 1, 0] = 2.5
+    cam_rot = np.zeros((w_, 2, 4), np.float32)
+    cam_rot[..., 0] = 1.0
+
+    n = 16
+    yy, xx = np.mgrid[0:n, 0:n]
+    img = np.empty((n, n, 4), np.uint8)
+    img[..., :3] = np.where(
+        (((yy // 4) + (xx // 4)) % 2)[..., None] > 0, 210, 70
+    )
+    img[..., 3] = 255
+    mats = bake_materials(
+        [ImportedMaterial("floor", (1.0, 1.0, 1.0, 1.0), texture=0),
+         ImportedMaterial("box", (0.8, 0.4, 0.2, 1.0))],
+        [ImportedTexture("check", img)], tex_size=n,
+    )
+    lights = make_lights(w_, [
+        {"direction": (0.4, -0.2, -1.0), "cast_shadow": True},
+    ])
+    cfg = RenderConfig(width=24, height=16, t_max=60.0, shadows=True)
+    j = jnp.asarray
+    return (cfg, blas, mats, lights,
+            (j(pos), j(rot), j(scale), j(obj), j(mask),
+             j(cam_pos), j(cam_rot)))
+
+
+def run_kernels_v3(interpret: bool):
+    """Round-5 addition: the raycast megakernel (ops/raycast_pallas)
+    through render_views_kernel on the fixed scene."""
+    from madrona_tpu.render.kernel import render_views_kernel
+
+    cfg, blas, mats, lights, args = raycast_case()
+    pos, rot, scale, obj, mask, cam_pos, cam_rot = args
+    mask3 = jnp.broadcast_to(mask[:, None, :], (2, 2, mask.shape[1]))
+    rgb, depth = render_views_kernel(
+        cfg, blas, pos, rot, scale, obj, mask3, cam_pos, cam_rot,
+        materials=mats, lights=lights, interpret=interpret,
+    )
+    return {"rc_rgb": np.asarray(rgb), "rc_depth": np.asarray(depth)}
+
+
 # ------------------------------------------------------ golden compare
 
 # Per-key comparison spec. Int fields are exact. Float fields compare

@@ -47,3 +47,41 @@ def test_round4_kernels_match_committed_goldens():
     )
     fails = golden_inputs.compare_goldens(out, golden)
     assert not fails, fails
+
+
+def test_goldens_artifacts_load():
+    """Smoke-tier check: the committed hardware-Mosaic golden archives
+    load and carry non-empty finite arrays for every kernel key (the
+    full interpret-vs-golden comparison runs in the non-smoke tests
+    above)."""
+    import pytest
+
+    for path in (GOLDEN, GOLDEN_V2):
+        if not os.path.exists(path):
+            pytest.skip("goldens not captured yet")
+        g = dict(np.load(path))
+        assert g, path
+        for k, v in g.items():
+            assert v.size > 0, (path, k)
+            assert np.isfinite(v).all(), (path, k)
+
+
+GOLDEN_V3 = os.path.join(
+    os.path.dirname(__file__), "goldens", "kernels_v3.npz"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GOLDEN_V3), reason="v3 goldens not captured yet"
+)
+def test_raycast_kernel_matches_committed_goldens():
+    """Interpret-mode raycast megakernel vs the compiled-Mosaic capture
+    (scripts/capture_kernel_goldens.py on hardware). Depth is a pure
+    f32 pipeline — tight; rgb adds texture/shade compose (one ulp-scale
+    bound, plus isolated winner tie-break flips at mesh edges)."""
+    golden = dict(np.load(GOLDEN_V3))
+    out = golden_inputs.run_kernels_v3(interpret=True)
+    d_err = np.abs(out["rc_depth"] - golden["rc_depth"])
+    assert (d_err > 1e-3).mean() < 0.005, d_err.max()
+    c_err = np.abs(out["rc_rgb"] - golden["rc_rgb"])
+    assert (c_err > 2e-2).any(-1).mean() < 0.01, c_err.max()
