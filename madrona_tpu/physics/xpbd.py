@@ -104,7 +104,11 @@ class PhysicsConfig:
     #   ~0.15 ms of the contacts kernel at 4096 worlds. Equal results
     #   for separated/shallow pairs; deep edge-edge penetration may
     #   pick a different (equally valid) axis — documented deviation.
-    sat_tier: str = "edge_pairs"
+    # default flipped to "edge_dirs" round 5: measured on one v5e,
+    # escape_room 1.220M -> 1.535M and hide_seek 1.237M -> 1.504M
+    # env-steps/s (bench_matrix.json edge_dirs rows); behavior/parity
+    # suites green under both tiers.
+    sat_tier: str = "edge_dirs"
     # pair tile of the sublane narrowphase kernel (pairs pad up to it).
     # 8 is the VMEM-feasible point for box-class hulls at tile_w=128
     # under the default scoped-VMEM budget (16 exceeds it by ~8M; 4

@@ -166,10 +166,10 @@ def main():
     for r in rows:
         if "value" in r:
             print(f"| {r['label']} | {r['value']:,.0f} | "
-                  f"{r.get('vs_baseline', 0):.3f} | {r['wall_s']} |")
+                  f"{r.get('vs_baseline', 0):.3f} | {r.get('wall_s', '-')} |")
         else:
             print(f"| {r['label']} | ERROR: {r['error'][:80]} | | "
-                  f"{r['wall_s']} |")
+                  f"{r.get('wall_s', '-')} |")
 
 
 if __name__ == "__main__":

@@ -145,6 +145,9 @@ def golden_case():
     cfg = PhysicsConfig(
         dt=1.0 / 30.0, substeps=4, solver="jacobi", jacobi_iters=2,
         narrowphase_once=True, megakernel=True,
+        # goldens were captured under the edge-pairs SAT; pin it so the
+        # round-5 edge_dirs default flip cannot shift the payloads
+        sat_tier="edge_pairs",
     )
     return om, body, cands, contacts, cfg
 
@@ -246,6 +249,7 @@ def fused_case():
         dt=1.0 / 30.0, substeps=4, solver="jacobi", jacobi_iters=2,
         narrowphase_once=True, megakernel_fused=True,
         megakernel_loop=True, fused_pair_chunk=4,
+        sat_tier="edge_pairs",   # tier pinned — see golden_case()
     )
     return om, body, cands, cfg
 
